@@ -1,0 +1,367 @@
+"""On-device TD(0) n-tuple actor–learner.
+
+Capability parity with the reference ``QAgent`` (``/root/reference/
+game2048/r_learning.py:85-346``), re-designed for TPU: instead of one
+sequential game with per-move Python list updates, N environments step
+in lockstep under ``jit``; afterstate values are weight-table gathers,
+greedy action selection is a masked argmax over the 4 afterstates, and
+the TD update is a batched scatter-add over the feature indices of all
+8 D4-symmetric board images.
+
+Semantics preserved from the reference ``episode`` loop
+(``r_learning.py:224-252``):
+  * gamma = 1, epsilon = 0 (greedy, no exploration);
+  * per move, the update to the PREVIOUS afterstate is
+    ``dw = (reward + V(s'_best) - V(s_prev)) * alpha / num_feat`` where
+    the reward is the score delta of the chosen move and ``V(s'_best)``
+    is evaluated with the weights BEFORE this step's update;
+  * at game over the last afterstate gets ``dw = -V(s_last) * alpha /
+    num_feat``;
+  * the same ``dw`` is added to the features of all 8 symmetric images;
+  * alpha decays by ``decay`` every ``decay_step`` episodes and whenever
+    a new maximum tile is reached, floored at ``low_alpha_limit``
+    (``r_learning.py:257-261, 292-294, 310-313``).
+
+Documented semantic delta (SURVEY §7 hard part 2): the reference
+updates the table after every single move of ONE game; the lockstep
+batch applies the updates of N in-flight games at once (mini-batch
+TD(0), index collisions summed).  Learning-curve equivalence is
+validated statistically in ``tests/test_learning.py``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AgentConfig, TrainConfig
+from ..engine import core as engine
+from ..features import ntuple
+
+
+class Metrics(NamedTuple):
+    """Device-resident episode statistics (host reads periodically)."""
+
+    episodes: jax.Array  # i32 scalar, completed episodes
+    score_ring: jax.Array  # (R+1,) i32 completed-episode scores (slot R = trash)
+    tile_ring: jax.Array  # (R+1,) i32 max tile exponent at completion
+    ring_pos: jax.Array  # i32 monotonic write counter
+    best_score: jax.Array  # i32 best completed-episode score
+
+
+class Recorder(NamedTuple):
+    """Trajectory capture for a subset of envs + best-game snapshot.
+
+    Replaces the reference's per-game ``moves``/``tiles`` logs
+    (``game_logic.py:55-70``) with fixed-shape device buffers; the best
+    finished recorded game is kept replayable (SURVEY §7 hard part 5).
+    Spawn byte layout: ``pos | (val-1) << 4``.
+    """
+
+    moves: jax.Array  # (R_env, S) i8
+    spawns: jax.Array  # (R_env, S) i8
+    starts: jax.Array  # (R_env, 4, 4) i8
+    best_moves: jax.Array  # (S,) i8
+    best_spawns: jax.Array  # (S,) i8
+    best_start: jax.Array  # (4, 4) i8
+    best_len: jax.Array  # i32
+    best_score: jax.Array  # i32
+
+
+class TDState(NamedTuple):
+    weights: jax.Array  # (total,) f32 flat n-tuple table
+    alpha: jax.Array  # f32 scalar
+    next_decay: jax.Array  # i32 scalar (episode count of next scheduled decay)
+    top_tile: jax.Array  # i32 scalar (exponent; ref starts at 10)
+    env: engine.EnvState
+    prev_idx: jax.Array  # (N, 8, F) i32 features of previous afterstate
+    prev_value: jax.Array  # (N,) f32
+    prev_valid: jax.Array  # (N,) bool
+    key: jax.Array
+    metrics: Metrics
+    recorder: Recorder
+
+
+def _round4(x: jax.Array) -> jax.Array:
+    """Mirror the reference's ``round(alpha, 4)`` (``r_learning.py:258``)."""
+    return jnp.round(x * 10000.0) / 10000.0
+
+
+def evaluate_boards(
+    ts: ntuple.TupleSet, weights: jax.Array, boards: jax.Array
+) -> jax.Array:
+    """V(s) for (..., 4, 4) boards: num_feat gathers + sum."""
+    flat = boards.reshape(boards.shape[:-2] + (16,))
+    idx = ntuple.feature_indices(ts, flat)
+    return weights[idx].sum(axis=-1)
+
+
+def select_greedy(
+    ts: ntuple.TupleSet, weights: jax.Array, boards: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Batched greedy afterstate selection (ref ``_find_best_move`` /
+    the argmax in ``episode``, ``r_learning.py:229-237``).
+
+    Returns (chosen (N,4,4), best_dir (N,), best_val (N,), delta (N,),
+    done (N,)).  ``done`` = no legal move = game over in the current
+    state.  Ties break toward the lowest direction index, like the
+    reference's strict ``>`` scan over directions 0..3.
+    """
+    aft, delta, legal = engine.afterstates(boards)  # (4,N,...)
+    vals = evaluate_boards(ts, weights, aft)  # (4, N)
+    neg = jnp.float32(-jnp.inf)
+    masked = jnp.where(legal, vals, neg)
+    best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)  # first max wins
+    n = boards.shape[0]
+    ar = jnp.arange(n)
+    best_val = masked[best_dir, ar]
+    best_delta = delta[best_dir, ar]
+    chosen = aft[best_dir, ar]
+    done = ~legal.any(axis=0)
+    return chosen, best_dir, best_val, best_delta, done
+
+
+def init_td_state(
+    ts: ntuple.TupleSet,
+    acfg: AgentConfig,
+    tcfg: TrainConfig,
+    key: jax.Array,
+    weights: Optional[jax.Array] = None,
+) -> TDState:
+    n, s = tcfg.num_envs, tcfg.max_record_steps
+    r_env = max(1, min(tcfg.record_envs, n))
+    kw, ke = jax.random.split(jax.random.PRNGKey(tcfg.seed) if key is None else key)
+    if weights is None:
+        weights = ntuple.init_weights(ts, kw)
+    env = engine.init_env(n, ke)
+    rec = Recorder(
+        moves=jnp.zeros((r_env, s), jnp.int8),
+        spawns=jnp.zeros((r_env, s), jnp.int8),
+        starts=env.boards[:r_env],
+        best_moves=jnp.zeros((s,), jnp.int8),
+        best_spawns=jnp.zeros((s,), jnp.int8),
+        best_start=jnp.zeros((4, 4), jnp.int8),
+        best_len=jnp.int32(0),
+        best_score=jnp.int32(0),
+    )
+    met = Metrics(
+        episodes=jnp.int32(0),
+        score_ring=jnp.zeros((tcfg.ring_size + 1,), jnp.int32),
+        tile_ring=jnp.zeros((tcfg.ring_size + 1,), jnp.int32),
+        ring_pos=jnp.int32(0),
+        best_score=jnp.int32(0),
+    )
+    return TDState(
+        weights=weights,
+        alpha=jnp.float32(acfg.alpha),
+        next_decay=jnp.int32(acfg.decay_step),
+        top_tile=jnp.int32(10),  # ref r_learning.py:122
+        env=env,
+        prev_idx=jnp.zeros((n, 8, ts.num_feat), jnp.int32),
+        prev_value=jnp.zeros((n,), jnp.float32),
+        prev_valid=jnp.zeros((n,), bool),
+        key=key,
+        metrics=met,
+        recorder=rec,
+    )
+
+
+def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
+    """Build the single batched TD(0) train step (pure, jit-friendly)."""
+
+    num_feat = ts.num_feat
+    ring = tcfg.ring_size
+    r_env = max(1, min(tcfg.record_envs, tcfg.num_envs))
+    s_max = tcfg.max_record_steps
+
+    def train_step(state: TDState) -> TDState:
+        key, k_spawn, k_reset = jax.random.split(state.key, 3)
+        boards, score = state.env.boards, state.env.score
+        n = boards.shape[0]
+        ar = jnp.arange(n)
+
+        chosen, best_dir, best_val, best_delta, done = select_greedy(
+            ts, state.weights, boards
+        )
+
+        # --- TD update of the previous afterstate -----------------------
+        td_err = jnp.where(done, -state.prev_value,
+                           best_delta.astype(jnp.float32) + best_val
+                           - state.prev_value)
+        dw = jnp.where(state.prev_valid, td_err, 0.0) * (
+            state.alpha / jnp.float32(num_feat)
+        )
+        upd = jnp.broadcast_to(dw[:, None, None], state.prev_idx.shape)
+        if acfg.update_mode == "mean":
+            # Collision-aware batched TD: normalize each entry's update
+            # by how many lockstep envs hit it this step, so hot entries
+            # see the same effective step size as in sequential TD.
+            contrib = jnp.broadcast_to(
+                state.prev_valid[:, None, None], state.prev_idx.shape
+            ).astype(jnp.float32)
+            hits = jnp.zeros_like(state.weights).at[state.prev_idx].add(
+                contrib, mode="drop"
+            )
+            upd = upd / jnp.maximum(hits[state.prev_idx], 1.0)
+        weights = state.weights.at[state.prev_idx].add(
+            upd, mode="drop", unique_indices=False
+        )
+
+        # --- advance the environments -----------------------------------
+        moved = jnp.where(done[:, None, None], boards, chosen)
+        new_score = jnp.where(done, score, score + best_delta)
+        new_odo = jnp.where(done, state.env.odometer, state.env.odometer + 1)
+        spawned, pos, val = engine.spawn(moved, k_spawn)
+        spawned = jnp.where(done[:, None, None], boards, spawned)
+        env = engine.EnvState(boards=spawned, score=new_score, odometer=new_odo)
+
+        # --- recorder: log (move, spawn) for the recorded subset --------
+        rec = state.recorder
+        slot = jnp.minimum(state.env.odometer[:r_env], s_max - 1)
+        rec_on = ~done[:r_env]
+        mcur = rec.moves[jnp.arange(r_env), slot]
+        scur = rec.spawns[jnp.arange(r_env), slot]
+        sp_byte = (pos[:r_env] | ((val[:r_env] - 1) << 4)).astype(jnp.int8)
+        moves_buf = rec.moves.at[jnp.arange(r_env), slot].set(
+            jnp.where(rec_on, best_dir[:r_env].astype(jnp.int8), mcur)
+        )
+        spawns_buf = rec.spawns.at[jnp.arange(r_env), slot].set(
+            jnp.where(rec_on, sp_byte, scur)
+        )
+
+        # --- best finished recorded game snapshot ------------------------
+        done_rec = done[:r_env]
+        cand = jnp.where(done_rec, score[:r_env], -1)
+        best_i = jnp.argmax(cand)
+        take = cand[best_i] > rec.best_score
+        best_moves = jnp.where(take, moves_buf[best_i], rec.best_moves)
+        best_spawns = jnp.where(take, spawns_buf[best_i], rec.best_spawns)
+        best_start = jnp.where(take, rec.starts[best_i], rec.best_start)
+        best_len = jnp.where(
+            take, jnp.minimum(state.env.odometer[best_i], s_max), rec.best_len
+        )
+        rec_best_score = jnp.where(take, cand[best_i], rec.best_score)
+
+        # --- episode-completion metrics ----------------------------------
+        met = state.metrics
+        n_done = done.sum().astype(jnp.int32)
+        order = jnp.cumsum(done.astype(jnp.int32)) - 1
+        wpos = jnp.where(done, (met.ring_pos + order) % ring, ring)
+        score_ring = met.score_ring.at[wpos].set(score, mode="drop")
+        tiles = engine.max_tile(boards)
+        tile_ring = met.tile_ring.at[wpos].set(tiles, mode="drop")
+        ep_best = jnp.where(done, score, 0).max()
+        metrics = Metrics(
+            episodes=met.episodes + n_done,
+            score_ring=score_ring,
+            tile_ring=tile_ring,
+            ring_pos=met.ring_pos + n_done,
+            best_score=jnp.maximum(met.best_score, ep_best),
+        )
+
+        # --- alpha schedule ----------------------------------------------
+        alpha, next_decay = state.alpha, state.next_decay
+        trig1 = (metrics.episodes > next_decay) & (
+            alpha > jnp.float32(acfg.low_alpha_limit)
+        )
+        alpha = jnp.where(
+            trig1,
+            _round4(jnp.maximum(alpha * acfg.decay, acfg.low_alpha_limit)),
+            alpha,
+        )
+        mt_done = jnp.where(done, tiles, 0).max()
+        trig2 = mt_done > state.top_tile
+        top_tile = jnp.maximum(state.top_tile, mt_done)
+        alpha = jnp.where(
+            trig2,
+            _round4(jnp.maximum(alpha * acfg.decay, acfg.low_alpha_limit)),
+            alpha,
+        )
+        next_decay = jnp.where(
+            trig1 | trig2, metrics.episodes + acfg.decay_step, next_decay
+        )
+
+        # --- auto-reset finished envs ------------------------------------
+        env = engine.reset_where(env, done, k_reset)
+        starts = jnp.where(
+            done[:r_env, None, None], env.boards[:r_env], rec.starts
+        )
+
+        # --- next-step bootstrap state -----------------------------------
+        sym_idx = ntuple.all_symmetry_indices(ts, chosen.reshape(n, 16))
+        prev_idx = jnp.where(done[:, None, None], state.prev_idx, sym_idx)
+        prev_value = jnp.where(done, 0.0, best_val)
+        prev_valid = ~done
+
+        recorder = Recorder(
+            moves=moves_buf,
+            spawns=spawns_buf,
+            starts=starts,
+            best_moves=best_moves,
+            best_spawns=best_spawns,
+            best_start=best_start,
+            best_len=best_len,
+            best_score=rec_best_score,
+        )
+        return TDState(
+            weights=weights,
+            alpha=alpha,
+            next_decay=next_decay,
+            top_tile=top_tile,
+            env=env,
+            prev_idx=prev_idx,
+            prev_value=prev_value,
+            prev_valid=prev_valid,
+            key=key,
+            metrics=metrics,
+            recorder=recorder,
+        )
+
+    return train_step
+
+
+def make_train_segment(
+    ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig
+):
+    """K train steps rolled with ``lax.scan`` (one jit call per segment)."""
+    step = make_train_step(ts, acfg, tcfg)
+
+    def segment(state: TDState) -> TDState:
+        def body(s, _):
+            return step(s), None
+
+        out, _ = jax.lax.scan(body, state, None, length=tcfg.steps_per_call)
+        return out
+
+    return segment
+
+
+def greedy_step(
+    ts: ntuple.TupleSet,
+    weights: jax.Array,
+    env: engine.EnvState,
+    key: jax.Array,
+    active: jax.Array,
+) -> Tuple[engine.EnvState, jax.Array, jax.Array]:
+    """One policy-only step for evaluation/watching.
+
+    Active envs move greedily and spawn; inactive or finished envs are
+    frozen (no auto-reset — ``QAgent.trial`` semantics of playing each
+    game exactly once).  Returns (env', active', best_dir).
+    """
+    boards = env.boards
+    n = boards.shape[0]
+    chosen, best_dir, _, best_delta, done = select_greedy(ts, weights, boards)
+    step_mask = active & ~done
+    moved = jnp.where(step_mask[:, None, None], chosen, boards)
+    spawned, _, _ = engine.spawn(moved, key)
+    boards_out = jnp.where(step_mask[:, None, None], spawned, boards)
+    score = jnp.where(step_mask, env.score + best_delta, env.score)
+    odo = jnp.where(step_mask, env.odometer + 1, env.odometer)
+    return (
+        engine.EnvState(boards=boards_out, score=score, odometer=odo),
+        active & ~done,
+        best_dir,
+    )

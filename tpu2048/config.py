@@ -1,0 +1,89 @@
+"""Typed configuration tree.
+
+Replaces the reference's ad-hoc layering (static ``config.json``, env
+vars, per-agent S3 JSON docs merged with constructor defaults — see
+``/root/reference/game2048/start.py:19-27`` and
+``r_learning.py:102-110``) with frozen dataclasses usable as static
+arguments to jitted functions, plus dict/JSON round-tripping so agent
+hyperparameter configs remain storable artifacts (the reference's ``c/``
+namespace capability).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class AgentConfig:
+    """TD(0) n-tuple learner hyperparameters (reference defaults,
+    ``r_learning.py:90-91`` and ``dash_utils.py:29-38``)."""
+
+    n: int = 4
+    alpha: float = 0.25
+    decay: float = 0.75
+    decay_step: int = 10000
+    low_alpha_limit: float = 0.01
+    # "mean": collision-aware batched TD — each table entry's summed
+    # update is divided by its hit count this step, which keeps the
+    # per-entry effective learning rate at the sequential reference's
+    # alpha/num_feat no matter how many lockstep envs collide on it
+    # (stability fix for mini-batch TD; SURVEY §7 hard part 2).
+    # "sum": raw scatter-add, exactly the reference numerics at
+    # num_envs=1 (used by the sequential-equivalence tests).
+    update_mode: str = "mean"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Vectorized training loop configuration."""
+
+    num_envs: int = 8192
+    steps_per_call: int = 64  # jit-rolled steps per host iteration
+    ring_size: int = 8192  # completed-episode metrics ring buffer
+    record_envs: int = 32  # envs with full trajectory recording
+    max_record_steps: int = 16384
+    seed: int = 0
+    episodes: int = 100000  # target completed episodes
+    checkpoint_every: int = 1000  # in completed episodes (ref cadence)
+    log_every: int = 100
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """Expectimax parameters (reference ``look_forward`` signature)."""
+
+    depth: int = 0
+    width: int = 1
+    since_empty: int = 6
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh / sharding configuration."""
+
+    data: int = 1  # environments sharded along this axis
+    model: int = 1  # optional weight-table sharding (TP analogue)
+
+
+@dataclass(frozen=True)
+class StorageConfig:
+    backend: str = "local"  # "local" | "s3" | "memory"
+    root: str = "~/.tpu2048"
+    bucket: str = ""
+
+
+def to_dict(cfg: Any) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def agent_config_from_dict(d: Dict[str, Any]) -> AgentConfig:
+    names = {f.name for f in dataclasses.fields(AgentConfig)}
+    return AgentConfig(**{k: v for k, v in d.items() if k in names})
+
+
+def train_config_from_dict(d: Dict[str, Any]) -> TrainConfig:
+    names = {f.name for f in dataclasses.fields(TrainConfig)}
+    return TrainConfig(**{k: v for k, v in d.items() if k in names})
