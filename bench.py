@@ -1,0 +1,140 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: full TD(0) actor-learner training throughput in
+env-steps/s on one chip for the flagship n=4 configuration.  The
+reference trains ~770 env-steps/s on its 1 CPU core (100k episodes /
+~3 days, ~2k moves/episode — README.md:12); vs_baseline is measured
+against that.  Auxiliary fields report engine-only throughput (the
+BASELINE.md 10M north-star row) and evaluation (policy-only)
+throughput.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference training throughput on its own hardware (env-steps/s):
+# 100,000 episodes in ~3 days with ~2,000 moves/episode (README.md:12).
+REF_TRAIN_STEPS_PER_SEC = 770.0
+ENGINE_NORTH_STAR = 10_000_000.0
+
+
+def _sync(x):
+    return np.asarray(x).ravel()[:1]
+
+
+def bench_train(n_envs=8192, k=128, reps=4):
+    from tpu2048.agent import td
+    from tpu2048.config import AgentConfig, TrainConfig
+    from tpu2048.features import ntuple
+
+    ts = ntuple.get_tuple_set(4)
+    acfg = AgentConfig(n=4)
+    tcfg = TrainConfig(
+        num_envs=n_envs, steps_per_call=k, ring_size=8192,
+        record_envs=32, max_record_steps=16384, seed=0,
+    )
+    state = td.init_td_state(ts, acfg, tcfg, jax.random.PRNGKey(0))
+    seg = jax.jit(td.make_train_segment(ts, acfg, tcfg), donate_argnums=0)
+    state = seg(state)
+    _sync(state.alpha)  # compile + warmup
+    t0 = time.time()
+    for _ in range(reps):
+        state = seg(state)
+    _sync(state.alpha)
+    dt = time.time() - t0
+    return reps * k * n_envs / dt
+
+
+def bench_engine(n_envs=8192, k=256, reps=6):
+    """Engine-only lockstep stepping: afterstates + spawn + auto-reset."""
+    from tpu2048.engine import core as eng
+
+    def roll(boards, key):
+        def body(c, _):
+            b, k2 = c
+            aft, delta, legal = eng.afterstates(b)
+            done = ~legal.any(axis=0)
+            k2, ks, kr = jax.random.split(k2, 3)
+            nb, _, _ = eng.spawn(aft[0], ks)
+            nb = jnp.where(done[:, None, None], eng.new_boards(n_envs, kr), nb)
+            return (nb, k2), None
+        (boards, key), _ = jax.lax.scan(body, (boards, key), None, length=k)
+        return boards
+
+    f = jax.jit(roll)
+    key = jax.random.PRNGKey(0)
+    from tpu2048.engine import core as eng2
+
+    boards = eng2.new_boards(n_envs, key)
+    out = f(boards, key)
+    _sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(out, key)
+    _sync(out)
+    dt = time.time() - t0
+    return reps * k * n_envs / dt
+
+
+def bench_eval(n_envs=8192, k=128, reps=4):
+    """Greedy policy inference throughput (trained-agent play)."""
+    from tpu2048.agent import td
+    from tpu2048.engine import core as eng
+    from tpu2048.features import ntuple
+
+    ts = ntuple.get_tuple_set(4)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
+
+    def roll(boards, key):
+        def body(c, _):
+            b, k2 = c
+            chosen, bd, bv, bdelta, done = td.select_greedy(ts, w, b)
+            k2, ks, kr = jax.random.split(k2, 3)
+            nb, _, _ = eng.spawn(chosen, ks)
+            nb = jnp.where(done[:, None, None], eng.new_boards(n_envs, kr), nb)
+            return (nb, k2), None
+        (boards, key), _ = jax.lax.scan(body, (boards, key), None, length=k)
+        return boards
+
+    f = jax.jit(roll)
+    key = jax.random.PRNGKey(0)
+    boards = eng.new_boards(n_envs, key)
+    out = f(boards, key)
+    _sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(out, key)
+    _sync(out)
+    dt = time.time() - t0
+    return reps * k * n_envs / dt
+
+
+def main():
+    # warm up the device/tunnel before timing anything
+    _sync(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
+    train_sps = bench_train()
+    engine_sps = bench_engine()
+    eval_sps = bench_eval()
+    print(
+        json.dumps(
+            {
+                "metric": "train_env_steps_per_sec_1chip_n4",
+                "value": round(train_sps, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(train_sps / REF_TRAIN_STEPS_PER_SEC, 2),
+                "engine_env_steps_per_sec": round(engine_sps, 1),
+                "engine_vs_north_star_10M": round(
+                    engine_sps / ENGINE_NORTH_STAR, 3
+                ),
+                "eval_env_steps_per_sec": round(eval_sps, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

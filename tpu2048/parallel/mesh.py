@@ -1,0 +1,106 @@
+"""Device mesh, shardings, and collectives.
+
+The reference has NO distributed compute at all (SURVEY §2.2): one
+sequential game on one CPU core, with S3 polling as its only
+inter-process channel.  This module is the from-scratch TPU story:
+
+  * a ``jax.sharding.Mesh`` with a ``data`` axis (environments sharded
+    across chips/hosts) and an optional ``model`` axis (weight-table
+    sharding, the tensor-parallel analogue for very large tuple sets);
+  * ``NamedSharding`` pytrees for the TD train state: env batch and
+    per-env bootstrap state sharded along ``data``, the weight table and
+    scalar schedule state replicated;
+  * GSPMD-compiled train steps: ``jax.jit`` over sharded inputs lets
+    XLA insert the collectives — the batched scatter-add of TD updates
+    into the replicated table becomes a local scatter + cross-replica
+    all-reduce riding ICI, and episode metrics reduce the same way.
+
+Multi-host bring-up is ``jax.distributed.initialize`` + the same mesh
+over ``jax.devices()``; tests exercise the logic on a virtual 8-device
+CPU platform (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..agent.td import Metrics, Recorder, TDState
+from ..config import MeshConfig
+from ..engine.core import EnvState
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    """Build a (data, model) mesh.  Defaults to all visible devices on
+    the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    if cfg is None:
+        cfg = MeshConfig(data=len(devices), model=1)
+    arr = mesh_utils.create_device_mesh(
+        (cfg.data, cfg.model), devices=devices[: cfg.data * cfg.model]
+    )
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def td_state_shardings(mesh: Mesh) -> TDState:
+    """NamedSharding pytree for a TDState: per-env leaves on ``data``,
+    table + scalars + metrics + recorder replicated."""
+
+    def s(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    rep = s()
+    data = s("data")
+    return TDState(
+        weights=rep,
+        alpha=rep,
+        next_decay=rep,
+        top_tile=rep,
+        env=EnvState(boards=data, score=data, odometer=data),
+        prev_idx=data,
+        prev_value=data,
+        prev_valid=data,
+        key=rep,
+        metrics=Metrics(
+            episodes=rep,
+            score_ring=rep,
+            tile_ring=rep,
+            ring_pos=rep,
+            best_score=rep,
+        ),
+        recorder=Recorder(
+            moves=rep,
+            spawns=rep,
+            starts=rep,
+            best_moves=rep,
+            best_spawns=rep,
+            best_start=rep,
+            best_len=rep,
+            best_score=rep,
+        ),
+    )
+
+
+def shard_td_state(state: TDState, mesh: Mesh) -> TDState:
+    """Place a TDState onto the mesh with the canonical shardings."""
+    sh = td_state_shardings(mesh)
+    return jax.device_put(state, sh)
+
+
+def make_sharded_train_segment(ts, acfg, tcfg, mesh: Mesh):
+    """jit the K-step train segment with explicit in/out shardings.
+
+    XLA/GSPMD turns the replicated-table scatter-add from the sharded
+    env batch into local scatter + all-reduce over the ``data`` axis.
+    """
+    from ..agent.td import make_train_segment
+
+    seg = make_train_segment(ts, acfg, tcfg)
+    sh = td_state_shardings(mesh)
+    return jax.jit(seg, in_shardings=(sh,), out_shardings=sh,
+                   donate_argnums=0)
