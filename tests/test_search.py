@@ -1,0 +1,135 @@
+"""Expectimax tests: base cases, pruning semantics, dead-child scoring,
+statistical agreement with the sequential reference algorithm
+(SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu2048.engine import core as engine
+from tpu2048.features import ntuple
+from tpu2048.search.expectimax import expectimax_value, make_expectimax_estimator
+
+
+def const_value(c):
+    return lambda boards: jnp.full(boards.shape[:-2], c, jnp.float32)
+
+
+def test_depth_zero_returns_estimator():
+    boards = engine.new_boards(8, jax.random.PRNGKey(0))
+    v = expectimax_value(const_value(7.0), boards, jax.random.PRNGKey(1),
+                         depth=0, width=4, since_empty=6)
+    assert np.allclose(np.asarray(v), 7.0)
+
+
+def test_pruning_on_empty_boards():
+    """Boards with >= since_empty empties return the raw estimate."""
+    boards = engine.new_boards(8, jax.random.PRNGKey(0))  # 14 empties
+    v = expectimax_value(const_value(3.5), boards, jax.random.PRNGKey(1),
+                         depth=3, width=4, since_empty=6)
+    assert np.allclose(np.asarray(v), 3.5)
+
+
+def test_constant_estimator_fixed_point_on_crowded_boards():
+    """With a constant positive estimator and no dead children, the
+    expectimax value equals the constant (max over legal = c, avg = c)."""
+    rng = np.random.default_rng(0)
+    # crowded boards: 2 empties, alive
+    boards = []
+    while len(boards) < 16:
+        b = rng.integers(1, 8, size=(4, 4)).astype(np.int8)
+        b[0, 0] = 0
+        b[3, 3] = 0
+        if not bool(engine.is_terminal(jnp.asarray(b[None]))[0]):
+            boards.append(b)
+    boards = jnp.asarray(np.stack(boards))
+    v = expectimax_value(const_value(5.0), boards, jax.random.PRNGKey(2),
+                         depth=2, width=4, since_empty=16)
+    # every child either alive (value 5.0) or dead (clipped to 0)
+    assert (np.asarray(v) <= 5.0 + 1e-5).all()
+    assert (np.asarray(v) >= 0.0).all()
+
+
+def test_near_dead_board_scores_low():
+    """A board whose every spawn kills the game must value 0 (dead
+    children clip at 0)."""
+    b = np.array(
+        [[0, 2, 1, 2], [2, 1, 2, 1], [1, 2, 1, 2], [2, 1, 2, 1]], np.int8
+    )
+    # spawning any tile at (0,0) other than matching neighbors kills it;
+    # tiles 1/2 at (0,0): 1 merges with nothing (neighbors 2,2)... board
+    # dead unless merge exists: check directly via the engine
+    v = expectimax_value(const_value(9.0), jnp.asarray(b[None]),
+                         jax.random.PRNGKey(3), depth=1, width=4,
+                         since_empty=16)
+    val = float(np.asarray(v)[0])
+    children = []
+    for tile in (1, 2):
+        c = b.copy()
+        c[0, 0] = tile
+        children.append(bool(engine.is_terminal(jnp.asarray(c[None]))[0]))
+    if all(children):
+        assert val == 0.0
+    else:
+        assert 0.0 <= val <= 9.0
+
+
+def test_statistical_agreement_with_sequential_reference():
+    """Batched sampled expectimax ~ sequential look_forward in
+    expectation (same tree law) for a value-bearing estimator."""
+    from tpu2048.engine.parity import ParityGame
+    import random as pyrandom
+
+    ts = ntuple.get_tuple_set(2)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(5)) * 100.0
+    wnp = np.asarray(w)
+
+    def np_value(board):
+        idx = np.asarray(
+            ntuple.feature_indices(ts, jnp.asarray(board.reshape(1, 16)))
+        )[0]
+        return float(wnp[idx].sum())
+
+    rng = np.random.default_rng(1)
+    board = np.array(
+        [[3, 1, 2, 4], [1, 5, 3, 1], [2, 3, 0, 2], [4, 1, 2, 0]], np.int8
+    )
+    # sequential estimates (Monte Carlo over the reference algorithm)
+    g = ParityGame(row=board.astype(np.int32), rng=pyrandom.Random(0))
+    seq = [
+        g.look_forward(
+            lambda r, s: np_value(np.asarray(r)), board.astype(np.int32), 0,
+            depth=1, width=2, since_empty=16,
+        )
+        for _ in range(300)
+    ]
+    # batched estimates
+    jfn = jax.jit(
+        lambda b, k: expectimax_value(
+            lambda x: jnp.asarray(
+                ntuple.evaluate(ts, w, x.reshape(x.shape[:-2] + (16,)))
+            ),
+            b, k, depth=1, width=2, since_empty=16,
+        )
+    )
+    batched = [
+        float(np.asarray(jfn(jnp.asarray(board[None]), jax.random.PRNGKey(i)))[0])
+        for i in range(300)
+    ]
+    m1, m2 = np.mean(seq), np.mean(batched)
+    s = max(np.std(seq), np.std(batched), 1e-9)
+    assert abs(m1 - m2) < 4 * s / np.sqrt(300) + 1e-3, (m1, m2)
+
+
+def test_estimator_wrapper_shapes():
+    ts = ntuple.get_tuple_set(2)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
+    est = make_expectimax_estimator(
+        lambda b: ntuple.evaluate(ts, w, b.reshape(b.shape[:-2] + (16,))),
+        depth=2, width=3, since_empty=6,
+    )
+    boards = engine.new_boards(12, jax.random.PRNGKey(1))
+    v = est(boards, jax.random.PRNGKey(2))
+    assert v.shape == (12,)
+    assert np.isfinite(np.asarray(v)).all()

@@ -1,0 +1,95 @@
+"""Agent checkpoint / resume.
+
+Capability parity with the reference's split persistence
+(``/root/reference/game2048/r_learning.py:166-200``): metadata under
+``a/<name>.json`` and the weight table under ``weights/<name>.npz`` —
+but as version-safe JSON + arrays instead of pickled class instances,
+and including everything needed for exact resume: schedule state
+(alpha, next_decay, top_tile), episode counter, train history, and the
+RNG key.  The reference's "resume and retune" capability (reload, then
+edit hyperparameters) is preserved: load returns a plain config dict
+that can be modified before rebuilding the state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import AgentConfig, agent_config_from_dict, to_dict
+from .artifacts import ArtifactStore
+
+
+def agent_key(name: str) -> str:
+    return f"a/{name}.json"
+
+
+def weights_key(name: str) -> str:
+    return f"weights/{name}.npz"
+
+
+def game_key(name: str) -> str:
+    return f"g/{name}.npz"
+
+
+def save_agent(
+    store: ArtifactStore,
+    name: str,
+    acfg: AgentConfig,
+    weights: np.ndarray,
+    meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Atomic two-part save: JSON metadata + npz weights."""
+    doc = {
+        "name": name,
+        "config": to_dict(acfg),
+        "meta": meta or {},
+        "format_version": 1,
+    }
+    store.save(weights_key(name), {"weights": np.asarray(weights, np.float32)})
+    store.save(agent_key(name), doc)
+
+
+def load_agent(
+    store: ArtifactStore, name: str
+) -> Tuple[AgentConfig, np.ndarray, Dict[str, Any]]:
+    doc = store.load(agent_key(name))
+    if doc is None:
+        raise FileNotFoundError(f"no agent '{name}' in store")
+    w = store.load(weights_key(name))
+    if w is None:
+        raise FileNotFoundError(f"agent '{name}' has no weights")
+    acfg = agent_config_from_dict(doc.get("config", {}))
+    return acfg, w["weights"], doc.get("meta", {})
+
+
+def save_game(store: ArtifactStore, name: str, record: Dict[str, Any]) -> None:
+    """Game record: starting board + move/spawn logs (replayable)."""
+    store.save(
+        game_key(name),
+        {
+            "starting_position": np.asarray(
+                record["starting_position"], np.int8
+            ),
+            "moves": np.asarray(record["moves"], np.int8),
+            "tiles": np.asarray(record["tiles"], np.int8).reshape(-1, 3),
+            "score": np.asarray([record["score"]], np.int64),
+            "odometer": np.asarray([record["odometer"]], np.int64),
+            "final_board": np.asarray(record["final_board"], np.int8),
+        },
+    )
+
+
+def load_game(store: ArtifactStore, name: str) -> Dict[str, Any]:
+    z = store.load(game_key(name))
+    if z is None:
+        raise FileNotFoundError(f"no game '{name}' in store")
+    return {
+        "starting_position": z["starting_position"],
+        "moves": z["moves"],
+        "tiles": z["tiles"],
+        "score": int(z["score"][0]),
+        "odometer": int(z["odometer"][0]),
+        "final_board": z["final_board"],
+    }

@@ -1,0 +1,299 @@
+"""Host training driver.
+
+Capability parity with the reference ``train_run``
+(``/root/reference/game2048/r_learning.py:269-346``): the same metric
+cadence measured in completed episodes (ma-100 logging, per-1000
+summaries with tile-reach percentages and best boards, learning-rate
+display), per-1000-episode checkpointing, best-game saving, cooperative
+cancellation, and resume-and-retune — but the hot loop is a single
+jitted K-step segment over N lockstep envs; the host only reads the
+device-resident metrics ring between segments.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..agent import td
+from ..config import AgentConfig, TrainConfig
+from ..features import ntuple
+from ..obs.jobs import Job
+from ..obs.logging import Logger
+from ..obs.metrics import MetricsWriter
+from ..store import checkpoint as ckpt
+from ..store.artifacts import ArtifactStore
+
+TILE_NAMES = [1 << e for e in range(10, 17)]  # 1024 .. 65536
+
+
+def _board_str(board: np.ndarray, score: int) -> str:
+    lines = []
+    for row in board:
+        lines.append(
+            "".join(
+                f"{(1 << int(v)) if v else 0}".ljust(7) for v in row
+            )
+        )
+    lines.append(f"score = {score}")
+    return "\n".join(lines)
+
+
+class Trainer:
+    """Owns one agent's training session."""
+
+    def __init__(
+        self,
+        name: str,
+        acfg: AgentConfig,
+        tcfg: TrainConfig,
+        store: Optional[ArtifactStore] = None,
+        logger: Optional[Logger] = None,
+        mesh=None,
+        resume: bool = False,
+    ):
+        self.name = name
+        self.acfg = acfg
+        self.tcfg = tcfg
+        self.store = store
+        self.log = logger or Logger(console=True)
+        self.ts = ntuple.get_tuple_set(acfg.n)
+        self.mesh = mesh
+        self.metrics_writer = (
+            MetricsWriter(store, name) if store is not None else None
+        )
+        self.train_history: list = []
+
+        weights = None
+        meta: Dict[str, Any] = {}
+        if resume:
+            if store is None:
+                raise ValueError("resume requires a store")
+            loaded_cfg, w, meta = ckpt.load_agent(store, name)
+            if loaded_cfg.n != acfg.n:
+                raise ValueError(
+                    f"agent '{name}' has n={loaded_cfg.n}, requested n={acfg.n}"
+                )
+            weights = np.asarray(w)
+            self.train_history = list(meta.get("train_history", []))
+        self.state = td.init_td_state(
+            self.ts, acfg, tcfg, jax.random.PRNGKey(tcfg.seed), weights=weights
+        )
+        if resume and meta:
+            import jax.numpy as jnp
+
+            self.state = self.state._replace(
+                alpha=jnp.float32(meta.get("alpha", acfg.alpha)),
+                next_decay=jnp.int32(
+                    meta.get("next_decay", acfg.decay_step)
+                ),
+                top_tile=jnp.int32(meta.get("top_tile", 10)),
+                metrics=self.state.metrics._replace(
+                    episodes=jnp.int32(meta.get("episodes", 0)),
+                    best_score=jnp.int32(meta.get("top_score", 0)),
+                ),
+            )
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            self.state = pmesh.shard_td_state(self.state, mesh)
+            self._segment = pmesh.make_sharded_train_segment(
+                self.ts, acfg, tcfg, mesh
+            )
+        else:
+            self._segment = jax.jit(
+                td.make_train_segment(self.ts, acfg, tcfg), donate_argnums=0
+            )
+        self._saved_best = int(np.asarray(self.state.metrics.best_score))
+
+    # -- cadenced reporting -------------------------------------------------
+
+    def _ring_slice(self, metrics, count: int) -> tuple:
+        ring = self.tcfg.ring_size
+        pos = int(np.asarray(metrics.ring_pos))
+        take = min(count, pos, ring)
+        idx = np.arange(pos - take, pos) % ring
+        scores = np.asarray(metrics.score_ring)[idx]
+        tiles = np.asarray(metrics.tile_ring)[idx]
+        return scores, tiles
+
+    def _report_100(self, episodes: int) -> None:
+        scores, tiles = self._ring_slice(self.state.metrics, 100)
+        if len(scores) == 0:
+            return
+        ma = int(scores.mean())
+        self.train_history.append(ma)
+        self.log.add(
+            f"episode {episodes}: ma_100 = {ma} "
+            f"(last batch top {int(scores.max())})"
+        )
+        if self.metrics_writer is not None:
+            self.metrics_writer.write(
+                {"kind": "ma100", "episodes": episodes, "ma100": ma,
+                 "alpha": float(np.asarray(self.state.alpha))}
+            )
+
+    def _report_1000(self, episodes: int, t_block: float) -> None:
+        scores, tiles = self._ring_slice(self.state.metrics, 1000)
+        if len(scores) == 0:
+            return
+        self.log.add("\n------")
+        self.log.add(f"{round(t_block / 60, 2)} min")
+        self.log.add(f"episode = {episodes}")
+        self.log.add(
+            f"average over last {len(scores)} episodes = "
+            f"{round(float(scores.mean()), 3)}"
+        )
+        for j, tile in enumerate(TILE_NAMES):
+            r = float((tiles >= j + 10).mean() * 100)
+            if r:
+                self.log.add(f"{tile} reached in {round(r, 1)} %")
+        rec = self.state.recorder
+        best_score = int(np.asarray(rec.best_score))
+        if best_score > 0:
+            final = self._best_game_record()
+            self.log.add("best recorded game of this agent:")
+            self.log.add(_board_str(final["final_board"], final["score"]))
+        self.log.add(
+            f"episode = {episodes}, current learning rate = "
+            f"{round(float(np.asarray(self.state.alpha)), 4)}"
+        )
+        self.log.add("------\n")
+        if self.metrics_writer is not None:
+            self.metrics_writer.write(
+                {
+                    "kind": "summary1000",
+                    "episodes": episodes,
+                    "avg1000": float(scores.mean()),
+                    "reach": {
+                        str(t): float((tiles >= j + 10).mean())
+                        for j, t in enumerate(TILE_NAMES)
+                    },
+                    "alpha": float(np.asarray(self.state.alpha)),
+                    "top_score": int(np.asarray(self.state.metrics.best_score)),
+                }
+            )
+
+    def _best_game_record(self) -> Dict[str, Any]:
+        """Reconstruct the best recorded game as a replayable record
+        (host-side replay of the device move/spawn logs)."""
+        from ..engine import core as engine
+
+        rec = self.state.recorder
+        length = int(np.asarray(rec.best_len))
+        start = np.asarray(rec.best_start, np.int8)
+        moves = np.asarray(rec.best_moves)[:length]
+        spawns = np.asarray(rec.best_spawns)[:length]
+        board = start.copy()
+        score = 0
+        tiles = []
+        for t in range(length):
+            nb, delta, _ = engine.np_move(board, int(moves[t]))
+            score += delta
+            sp = int(spawns[t]) & 0xFF
+            pos, val = sp & 0xF, (sp >> 4) + 1
+            nb = nb.reshape(16).copy()
+            nb[pos] = val
+            board = nb.reshape(4, 4)
+            tiles.append((val, pos // 4, pos % 4))
+        return {
+            "starting_position": start,
+            "moves": moves.astype(np.int8),
+            "tiles": np.asarray(tiles, np.int8).reshape(-1, 3),
+            "score": score,
+            "odometer": length,
+            "final_board": board.astype(np.int8),
+        }
+
+    # -- checkpointing ------------------------------------------------------
+
+    def save(self) -> None:
+        if self.store is None:
+            return
+        meta = {
+            "episodes": int(np.asarray(self.state.metrics.episodes)),
+            "top_score": int(np.asarray(self.state.metrics.best_score)),
+            "top_tile": int(np.asarray(self.state.top_tile)),
+            "alpha": float(np.asarray(self.state.alpha)),
+            "next_decay": int(np.asarray(self.state.next_decay)),
+            "train_history": [int(x) for x in self.train_history],
+            "num_envs": self.tcfg.num_envs,
+        }
+        ckpt.save_agent(
+            self.store, self.name, self.acfg,
+            np.asarray(self.state.weights), meta,
+        )
+
+    def _maybe_save_best_game(self) -> None:
+        if self.store is None:
+            return
+        best = int(np.asarray(self.state.recorder.best_score))
+        if best > self._saved_best:
+            self._saved_best = best
+            record = self._best_game_record()
+            ckpt.save_game(self.store, f"best_of_{self.name}", record)
+            self.log.add(
+                f"\nnew best recorded game ({best})! saved to "
+                f"g/best_of_{self.name}.npz\n"
+            )
+
+    # -- main loop ----------------------------------------------------------
+
+    def run(self, job: Optional[Job] = None,
+            registry=None) -> Dict[str, Any]:
+        tcfg = self.tcfg
+        start_eps = int(np.asarray(self.state.metrics.episodes))
+        target = start_eps + tcfg.episodes
+        self.log.add(
+            f"Agent {self.name} training session started, "
+            f"episodes = {start_eps}, target = {target}, "
+            f"n = {self.acfg.n}, envs = {tcfg.num_envs}"
+        )
+        next_100 = (start_eps // tcfg.log_every + 1) * tcfg.log_every
+        next_1000 = (
+            start_eps // tcfg.checkpoint_every + 1
+        ) * tcfg.checkpoint_every
+        t_global = t_block = time.time()
+        steps_done = 0
+        while True:
+            if job is not None and job.should_stop():
+                self.log.add("training cancelled")
+                break
+            self.state = self._segment(self.state)
+            steps_done += tcfg.steps_per_call * tcfg.num_envs
+            episodes = int(np.asarray(self.state.metrics.episodes))
+            if registry is not None and job is not None:
+                registry.heartbeat(job.parent)
+            while episodes >= next_100:
+                self._report_100(next_100)
+                next_100 += tcfg.log_every
+            if episodes >= next_1000:
+                self._report_1000(episodes, time.time() - t_block)
+                t_block = time.time()
+                self._maybe_save_best_game()
+                self.save()
+                next_1000 = (
+                    episodes // tcfg.checkpoint_every + 1
+                ) * tcfg.checkpoint_every
+            if episodes >= target:
+                break
+        total = time.time() - t_global
+        sps = steps_done / max(total, 1e-9)
+        self.log.add(
+            f"Total time = {int(total) // 60} min {int(total) % 60} sec "
+            f"({sps / 1e3:.0f}K env-steps/s)"
+        )
+        self._maybe_save_best_game()
+        self.save()
+        if self.store is not None:
+            self.log.add(f"{self.name} saved at episode "
+                         f"{int(np.asarray(self.state.metrics.episodes))}")
+        return {
+            "episodes": int(np.asarray(self.state.metrics.episodes)),
+            "top_score": int(np.asarray(self.state.metrics.best_score)),
+            "env_steps_per_sec": sps,
+            "train_history": list(self.train_history),
+        }

@@ -1,0 +1,224 @@
+"""Batched evaluation driver.
+
+Capability parity with ``QAgent.trial``
+(``/root/reference/game2048/r_learning.py:348-406``): play N full games
+with a trained agent (optionally deepened by expectimax), then report
+average score, tile-reach percentages, top-3 final boards, timing and
+per-move cost, and save the best game — but the N games run in lockstep
+on device, each played exactly once (active-mask, no auto-reset), with
+move/spawn logs recorded for replay.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agent import td
+from ..config import SearchConfig
+from ..engine import core as engine
+from ..features import ntuple
+from ..obs.logging import Logger
+from ..search.expectimax import make_expectimax_estimator
+
+
+class TrialResult(NamedTuple):
+    scores: np.ndarray  # (N,) final scores
+    tiles: np.ndarray  # (N,) final max-tile exponents
+    odometers: np.ndarray  # (N,) moves per game
+    final_boards: np.ndarray  # (N,4,4)
+    elapsed: float
+    report: str
+    best_game: Optional[Dict[str, Any]]  # replayable record
+
+
+class _EvalState(NamedTuple):
+    boards: jax.Array
+    score: jax.Array
+    odometer: jax.Array
+    active: jax.Array
+    key: jax.Array
+    moves: jax.Array  # (N,S) int8
+    spawns: jax.Array  # (N,S) int8
+
+
+def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
+                       k: int, limit_tile: int):
+    value_fn = lambda b: td.evaluate_boards(ts, weights, b)  # noqa: E731
+    estimator = make_expectimax_estimator(
+        value_fn, scfg.depth, scfg.width, scfg.since_empty
+    )
+
+    def step(st: _EvalState) -> _EvalState:
+        key, k_est, k_spawn = jax.random.split(st.key, 3)
+        aft, delta, legal = engine.afterstates(st.boards)
+        vals = estimator(aft.reshape(4 * n, 4, 4), k_est).reshape(4, n)
+        masked = jnp.where(legal, vals, -jnp.inf)
+        best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
+        ar = jnp.arange(n)
+        chosen = aft[best_dir, ar]
+        best_delta = delta[best_dir, ar]
+        done = ~legal.any(axis=0)
+        stepping = st.active & ~done
+        moved = jnp.where(stepping[:, None, None], chosen, st.boards)
+        spawned, pos, val = engine.spawn(moved, k_spawn)
+        boards = jnp.where(stepping[:, None, None], spawned, st.boards)
+        slot = jnp.minimum(st.odometer, s_cap - 1)
+        mcur = st.moves[ar, slot]
+        scur = st.spawns[ar, slot]
+        sp = (pos | ((val - 1) << 4)).astype(jnp.int8)
+        moves = st.moves.at[ar, slot].set(
+            jnp.where(stepping, best_dir.astype(jnp.int8), mcur)
+        )
+        spawns = st.spawns.at[ar, slot].set(jnp.where(stepping, sp, scur))
+        score = jnp.where(stepping, st.score + best_delta, st.score)
+        odometer = jnp.where(stepping, st.odometer + 1, st.odometer)
+        active = st.active & ~done
+        if limit_tile:
+            active = active & (engine.max_tile(boards) < limit_tile)
+        return _EvalState(boards, score, odometer, active, key, moves, spawns)
+
+    def segment(st: _EvalState) -> _EvalState:
+        def body(s, _):
+            return step(s), None
+
+        out, _ = jax.lax.scan(body, st, None, length=k)
+        return out
+
+    return segment
+
+
+def trial(
+    ts: ntuple.TupleSet,
+    weights: jax.Array,
+    num: int = 20,
+    seed: int = 0,
+    search: Optional[SearchConfig] = None,
+    limit_tile: int = 0,
+    step_cap: int = 32768,
+    steps_per_call: int = 256,
+    logger: Optional[Logger] = None,
+    game_init: Optional[np.ndarray] = None,
+    progress_cb=None,
+    stop_cb=None,
+) -> TrialResult:
+    """Play ``num`` games to completion; aggregate statistics."""
+    scfg = search or SearchConfig(depth=0)
+    log = logger or Logger(console=False)
+    key = jax.random.PRNGKey(seed)
+    k_init, key = jax.random.split(key)
+    if game_init is not None:
+        boards = jnp.broadcast_to(
+            jnp.asarray(game_init, jnp.int8), (num, 4, 4)
+        )
+    else:
+        boards = engine.new_boards(num, k_init)
+    st = _EvalState(
+        boards=boards,
+        score=jnp.zeros(num, jnp.int32),
+        odometer=jnp.zeros(num, jnp.int32),
+        active=jnp.ones(num, bool),
+        key=key,
+        moves=jnp.zeros((num, step_cap), jnp.int8),
+        spawns=jnp.zeros((num, step_cap), jnp.int8),
+    )
+    starts = np.asarray(st.boards, np.int8)
+    seg = jax.jit(
+        _make_eval_segment(
+            ts, weights, scfg, num, step_cap, steps_per_call, limit_tile
+        ),
+        donate_argnums=0,
+    )
+    t0 = time.time()
+    while True:
+        if stop_cb is not None and stop_cb():
+            break
+        st = seg(st)
+        n_active = int(np.asarray(st.active.sum()))
+        if progress_cb is not None:
+            progress_cb(st)
+        if n_active == 0:
+            break
+        if int(np.asarray(st.odometer.max())) >= step_cap:
+            log.add(f"step cap {step_cap} reached with {n_active} active")
+            break
+    elapsed = time.time() - t0
+
+    scores = np.asarray(st.score)
+    tiles = np.asarray(engine.max_tile(st.boards))
+    odos = np.asarray(st.odometer)
+    finals = np.asarray(st.boards)
+    order = np.argsort(-scores)
+
+    def share(exp: int) -> float:
+        return float((tiles >= exp).mean() * 100)
+
+    lines = ["\nBest games:"]
+    for i in order[:3]:
+        for row in finals[i]:
+            lines.append(
+                "".join(f"{(1 << int(v)) if v else 0}".ljust(7) for v in row)
+            )
+        lines.append(f"score = {scores[i]} moves = {odos[i]} "
+                     f"reached {1 << int(tiles[i])}\n")
+    total_moves = int(odos.sum())
+    lines += [
+        f"average score of {num} runs = {round(float(scores.mean()), 3)}",
+        f"16384 reached in {share(14)}%",
+        f"8192 reached in {share(13)}%",
+        f"4096 reached in {share(12)}%",
+        f"2048 reached in {share(11)}%",
+        f"1024 reached in {share(10)}%",
+        f"total time = {round(elapsed, 2)}",
+        f"average time per move = "
+        f"{round(elapsed / max(total_moves, 1) * 1000, 3)} ms",
+        f"total env-moves = {total_moves}",
+    ]
+    report = "\n".join(lines)
+    log.add(report)
+
+    best = int(order[0])
+    best_game = _game_record(
+        starts[best],
+        np.asarray(st.moves)[best],
+        np.asarray(st.spawns)[best],
+        int(odos[best]),
+    )
+    return TrialResult(
+        scores=scores,
+        tiles=tiles,
+        odometers=odos,
+        final_boards=finals,
+        elapsed=elapsed,
+        report=report,
+        best_game=best_game,
+    )
+
+
+def _game_record(start, moves, spawns, length) -> Dict[str, Any]:
+    """Replay device logs into a portable game record."""
+    board = np.asarray(start, np.int8).copy()
+    score = 0
+    tiles: List = []
+    length = min(length, len(moves))
+    for t in range(length):
+        nb, delta, _ = engine.np_move(board, int(moves[t]))
+        score += delta
+        sp = int(spawns[t]) & 0xFF
+        pos, val = sp & 0xF, (sp >> 4) + 1
+        nb = nb.reshape(16).copy()
+        nb[pos] = val
+        board = nb.reshape(4, 4)
+        tiles.append((val, pos // 4, pos % 4))
+    return {
+        "starting_position": np.asarray(start, np.int8),
+        "moves": np.asarray(moves[:length], np.int8),
+        "tiles": np.asarray(tiles, np.int8).reshape(-1, 3),
+        "score": score,
+        "odometer": length,
+        "final_board": board,
+    }
