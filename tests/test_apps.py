@@ -1,0 +1,279 @@
+"""Application layer tests: HTTP API end-to-end over a live server
+(all seven modes), CLI rendering/replay, pygame viewer headless."""
+
+import io
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpu2048.config import AgentConfig, TrainConfig
+from tpu2048.apps.server import AppServer
+from tpu2048.apps.service import AppService
+from tpu2048.obs.logging import Logger
+from tpu2048.store import checkpoint as ckpt
+from tpu2048.store.artifacts import MemoryStore
+from tpu2048.train.loop import Trainer
+
+TINY = TrainConfig(
+    num_envs=32, steps_per_call=32, ring_size=256, record_envs=8,
+    max_record_steps=2048, seed=0, episodes=60, checkpoint_every=50,
+    log_every=25,
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    store = MemoryStore()
+    # pre-train a small agent so test/watch/replay modes have content
+    Trainer("webby", AgentConfig(n=2), TINY, store=store,
+            logger=Logger(console=False)).run()
+    service = AppService(store, default_tcfg=TINY)
+    srv = AppServer(service, port=0, vacuum_interval=3600)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _get(server, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}{path}", timeout=30
+    ) as r:
+        return json.loads(r.read())
+
+
+def _post(server, path, body=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body or {}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_index_and_health(server):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/", timeout=10
+    ) as r:
+        html = r.read().decode()
+    assert "tpu2048" in html
+    assert _get(server, "/api/health")["ok"]
+
+
+def test_modes_and_params(server):
+    modes = _get(server, "/api/modes")
+    assert [m["id"] for m in modes] == [
+        "guide", "train", "test", "watch", "replay", "play", "admin"
+    ]
+    params = _get(server, "/api/params")
+    names = [p["name"] for p in params]
+    assert names == ["name", "n", "alpha", "decay", "decay_step",
+                     "low_alpha_limit", "episodes"]
+
+
+def test_play_flow(server):
+    f = _post(server, "/api/play/new")
+    assert sum(v != 0 for row in f["board"] for v in row) == 2
+    session = f["session"]
+    moved = False
+    for d in range(4):
+        out = _post(server, "/api/play/move",
+                    {"session": session, "direction": d})
+        if out["changed"]:
+            moved = True
+            assert out["odometer"] >= 1
+            break
+    assert moved
+    # invalid direction -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/play/move", {"session": session, "direction": 9})
+    assert e.value.code == 400
+    # unknown session -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/play/move", {"session": "nope", "direction": 0})
+    assert e.value.code == 404
+
+
+def test_train_start_status_stop(server):
+    r = _post(server, "/api/train/start", {
+        "params": {"name": "webtrained", "n": 2, "alpha": 0.25,
+                   "decay": 0.75, "decay_step": 10000,
+                   "low_alpha_limit": 0.01, "episodes": 40},
+        "new_agent": True,
+    })
+    assert "job" in r and r["log"].startswith("l/")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        st = _get(server, "/api/train/status?name=webtrained")
+        if st["state"] == "finished":
+            break
+        time.sleep(0.5)
+    st = _get(server, "/api/train/status?name=webtrained")
+    assert st["state"] == "finished", st
+    assert st["error"] is None
+    assert "webtrained" in _get(server, "/api/agents")
+    logs = _get(server, f"/api/logs?key={r['log']}")
+    assert "training session started" in logs["text"]
+    chart = _get(server, "/api/chart?name=webtrained")
+    assert len(chart["y"]) >= 1
+    # duplicate-name lock while running: start long job then conflict
+    r2 = _post(server, "/api/train/start", {
+        "params": {"name": "webtrained", "episodes": 100000, "n": 2},
+        "new_agent": False,
+    })
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/train/start", {
+            "params": {"name": "webtrained", "episodes": 10, "n": 2},
+            "new_agent": False, "parent": "other-session",
+        })
+    assert e.value.code == 409
+    assert _post(server, "/api/train/stop", {"name": "webtrained"})["stopped"]
+
+
+def test_train_rejects_bad_names(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/train/start",
+              {"params": {"name": "../evil", "episodes": 10}})
+    assert e.value.code == 400
+
+
+def test_test_mode(server):
+    r = _post(server, "/api/test/start",
+              {"name": "webby", "num": 8, "depth": 0})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        text = _get(server, f"/api/logs?key={r['log']}")["text"]
+        if "average score" in text:
+            break
+        time.sleep(0.5)
+    assert "average score of 8 runs" in text
+    assert "best_trial_webby" in _get(server, "/api/games")
+
+
+def test_watch_mode(server):
+    r = _post(server, "/api/watch/start", {"name": "webby"})
+    session = r["session"]
+    deadline = time.time() + 60
+    frames = []
+    while time.time() < deadline:
+        out = _get(server, f"/api/watch/frames?session={session}&since=0")
+        frames = out["frames"]
+        if len(frames) > 10 or out["done"]:
+            break
+        time.sleep(0.2)
+    assert len(frames) > 1
+    f = frames[1]
+    assert len(f["board"]) == 4 and f["next_move"] in (-1, 0, 1, 2, 3)
+    _post(server, "/api/watch/stop", {"session": session})
+
+
+def test_replay_mode(server):
+    games = _get(server, "/api/games")
+    assert games
+    frames = _get(server, f"/api/replay?name={games[0]}")
+    assert len(frames) >= 2
+    assert frames[-1]["next_move"] == -1
+    # frame scores are non-decreasing
+    scores = [f["score"] for f in frames]
+    assert all(b >= a for a, b in zip(scores, scores[1:]))
+
+
+def test_admin_files(server):
+    url = f"http://127.0.0.1:{server.port}/api/files/c/upload.json"
+    req = urllib.request.Request(url, data=b'{"hello": 1}', method="PUT")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert json.loads(r.read())["ok"]
+    assert "c/upload.json" in _get(server, "/api/files")
+    with urllib.request.urlopen(url, timeout=10) as r:
+        assert json.loads(r.read()) == {"hello": 1}
+    req = urllib.request.Request(url, method="DELETE")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert json.loads(r.read())["ok"]
+    assert "c/upload.json" not in _get(server, "/api/files")
+
+
+def test_heartbeat_and_vacuum(server):
+    assert _post(server, "/api/heartbeat", {"parent": "web"})["ok"]
+    assert "removed" in _post(server, "/api/vacuum")
+
+
+# ---------------------------------------------------------------------------
+# CLI client
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cli_store():
+    store = MemoryStore()
+    Trainer("clia", AgentConfig(n=2), TINY, store=store,
+            logger=Logger(console=False)).run()
+    return store
+
+
+def test_cli_render_board():
+    from tpu2048.apps.cli import render_board
+
+    buf = io.StringIO()
+    board = np.asarray([[1, 0, 2, 3]] * 4, np.int8)
+    render_board(board, 120, 7, "hi", out=buf)
+    text = buf.getvalue()
+    assert "score = 120" in text and "moves = 7" in text
+    assert "2" in text and "8" in text
+
+
+def test_cli_replay_and_watch(cli_store):
+    from tpu2048.apps.cli import replay_game, watch_agent
+
+    buf = io.StringIO()
+    games = [k for k in cli_store.list_keys("g/")]
+    name = games[0][len("g/"):-len(".npz")]
+    replay_game(cli_store, name, speed_ms=0, out=buf)
+    assert "GAME OVER" in buf.getvalue()
+    buf2 = io.StringIO()
+    watch_agent(cli_store, "clia", speed_ms=0, max_moves=5, out=buf2)
+    assert "next =" in buf2.getvalue()
+
+
+def test_viewer_headless(cli_store):
+    import os
+
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    pygame = pytest.importorskip("pygame")
+    from tpu2048.apps.viewer import Viewer
+
+    v = Viewer()
+    v.draw(np.asarray([[1, 2, 3, 4]] * 4, np.int8), 10, 2, "test")
+    games = [k for k in cli_store.list_keys("g/")]
+    name = games[0][len("g/"):-len(".npz")]
+    # replay a few frames headless by monkeypatching the wait
+    v.pygame.time.wait = lambda ms: None
+    rec = ckpt.load_game(cli_store, name)
+    # truncate for speed
+    rec["moves"] = rec["moves"][:3]
+    rec["tiles"] = rec["tiles"][:3]
+    rec["odometer"] = 3
+    ckpt.save_game(cli_store, "short", rec)
+
+    import threading
+
+    done = threading.Event()
+
+    def run():
+        try:
+            v.replay(cli_store, "short", speed_ms=0)
+        except SystemExit:
+            pass
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(1.0)
+    # simulate window close so replay's tail loop exits
+    v.pygame.event.post(v.pygame.event.Event(v.pygame.QUIT))
+    done.wait(10)
+    assert done.is_set()

@@ -1,0 +1,412 @@
+"""Single-page web UI (vanilla JS, no dependencies).
+
+Functional parity with the reference Dash layout (SURVEY §2 "Web
+application"): seven modes, board pane with score/moves/next-move
+header, speed gauge with pause/resume, training-params form, log
+window with clear/download, training chart, admin file manager, and
+arrow-key play — rendered client-side from the JSON API.
+"""
+
+INDEX_HTML = r"""<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>tpu2048 — TPU-native 2048 RL</title>
+<style>
+ body { font-family: system-ui, sans-serif; margin: 0; background: #19191f;
+        color: #e8e8e8; }
+ header { padding: 10px 18px; background: #23232d; display: flex;
+          gap: 8px; align-items: center; flex-wrap: wrap; }
+ header h1 { font-size: 18px; margin: 0 18px 0 0; color: #8fd460; }
+ button { background: #32323f; color: #e8e8e8; border: 1px solid #4a4a5a;
+          border-radius: 6px; padding: 7px 12px; cursor: pointer; }
+ button:hover { background: #41415a; }
+ button.active { background: #5a8f3c; border-color: #8fd460; }
+ main { display: flex; gap: 18px; padding: 18px; flex-wrap: wrap; }
+ .pane { background: #23232d; border-radius: 10px; padding: 14px; }
+ #board { display: grid; grid-template-columns: repeat(4, 86px);
+          grid-gap: 8px; padding: 8px; background: #2e2e3a;
+          border-radius: 8px; }
+ .cell { width: 86px; height: 86px; border-radius: 6px; display: flex;
+         align-items: center; justify-content: center; font-size: 24px;
+         font-weight: 700; color: #fff; background: #3a3a48; }
+ #hdr { margin: 0 0 10px; font-size: 15px; min-height: 20px; }
+ #logs { white-space: pre-wrap; font-family: ui-monospace, monospace;
+         font-size: 12px; height: 420px; overflow-y: auto; width: 440px;
+         background: #14141a; padding: 10px; border-radius: 6px; }
+ label { font-size: 13px; display: block; margin: 7px 0 2px; }
+ input, select { background: #14141a; border: 1px solid #4a4a5a;
+         color: #e8e8e8; border-radius: 5px; padding: 6px; width: 170px; }
+ #chart { background: #14141a; border-radius: 6px; }
+ table { font-size: 13px; border-collapse: collapse; }
+ td { padding: 4px 10px; border-bottom: 1px solid #32323f; }
+ a { color: #8fd460; }
+ .row { display: flex; gap: 10px; align-items: center; margin: 8px 0; }
+ #guide { max-width: 640px; line-height: 1.5; font-size: 14px; }
+</style>
+</head>
+<body>
+<header>
+ <h1>tpu2048</h1>
+ <span id="modes"></span>
+</header>
+<main>
+ <div class="pane" id="board-pane">
+   <div id="hdr">Welcome! Choose a mode of action.</div>
+   <div id="board"></div>
+   <div class="row" id="speed-row" style="display:none">
+     <label style="margin:0">speed</label>
+     <input type="range" id="speed" min="30" max="1000" value="200"
+            style="width:140px">
+     <button id="pause">pause</button>
+     <button id="stopwatch" style="display:none">stop</button>
+   </div>
+   <div class="row" id="play-controls" style="display:none">
+     <button data-dir="0">&#8592;</button>
+     <button data-dir="1">&#8593;</button>
+     <button data-dir="2">&#8594;</button>
+     <button data-dir="3">&#8595;</button>
+     <button id="restart">restart</button>
+     <span style="font-size:12px">(arrow keys work too)</span>
+   </div>
+ </div>
+ <div class="pane" id="controls"></div>
+ <div class="pane" id="log-pane" style="display:none">
+   <div class="row">
+     <b>logs</b>
+     <button id="clear-logs">clear</button>
+     <a id="dl-logs" download="logs.txt">download</a>
+   </div>
+   <div id="logs"></div>
+ </div>
+ <div class="pane" id="chart-pane" style="display:none">
+   <b>training history (ma-100 score)</b><br><br>
+   <canvas id="chart" width="460" height="260"></canvas>
+ </div>
+</main>
+<script>
+const COLORS = {0:'#3a3a48',1:'#c62828',2:'#d81b60',3:'#8e24aa',
+ 4:'#5e35b1',5:'#1e88e5',6:'#00897b',7:'#7cb342',8:'#43a047',
+ 9:'#fb8c00',10:'#f4511e',11:'#6d4c41',12:'#e53935',13:'#d07878',
+ 14:'#9c27b0',15:'#673ab7',16:'#ef5350'};
+const DIRS = {0:'left',1:'up',2:'right',3:'down'};
+let mode = null, playSession = null, watchSession = null;
+let frames = [], framePos = 0, paused = false, logKey = null;
+let timer = null, trainAgent = null;
+
+const $ = id => document.getElementById(id);
+const api = async (path, opts) => {
+  const r = await fetch(path, opts);
+  const j = await r.json();
+  if (!r.ok) throw new Error(j.error || r.status);
+  return j;
+};
+const post = (path, body) => api(path, {method:'POST',
+  headers:{'Content-Type':'application/json'}, body:JSON.stringify(body||{})});
+
+function drawBoard(board) {
+  const el = $('board'); el.innerHTML = '';
+  for (const row of board) for (const v of row) {
+    const d = document.createElement('div');
+    d.className = 'cell';
+    d.style.background = COLORS[v] || '#ef5350';
+    d.textContent = v ? (1 << v) : '';
+    if ((1<<v) > 8192) d.style.fontSize = '18px';
+    el.appendChild(d);
+  }
+}
+function drawFrame(f, selfPlay) {
+  drawBoard(f.board);
+  let h = `Score = ${f.score} &nbsp; Moves = ${f.odometer} &nbsp; `;
+  if (f.next_move === -1) h += '<b>Game over!</b>';
+  else if (!selfPlay && f.next_move >= 0) h += `Next move = ${DIRS[f.next_move]}`;
+  $('hdr').innerHTML = h;
+}
+drawBoard([[0,0,0,0],[0,0,0,0],[0,0,0,0],[0,0,0,0]]);
+
+async function setMode(m) {
+  mode = m;
+  clearInterval(timer); timer = null; frames = []; framePos = 0;
+  document.querySelectorAll('#modes button').forEach(b =>
+    b.classList.toggle('active', b.dataset.m === m));
+  $('speed-row').style.display = ['watch','replay'].includes(m) ? 'flex' : 'none';
+  $('stopwatch').style.display = m === 'watch' ? 'inline' : 'none';
+  $('play-controls').style.display = m === 'play' ? 'flex' : 'none';
+  $('log-pane').style.display = ['train','test'].includes(m) ? 'block' : 'none';
+  $('chart-pane').style.display = m === 'train' ? 'block' : 'none';
+  const c = $('controls'); c.innerHTML = '';
+  if (m === 'guide') renderGuide();
+  if (m === 'train') await renderTrain();
+  if (m === 'test') await renderTest();
+  if (m === 'watch') await renderWatch();
+  if (m === 'replay') await renderReplay();
+  if (m === 'play') await startPlay();
+  if (m === 'admin') await renderAdmin();
+}
+
+function renderGuide() {
+  $('controls').innerHTML = `<div id="guide"><h3>Guide</h3>
+  <p>This is <b>tpu2048</b> — a TPU-native reinforcement-learning system
+  for the game 2048. An n-tuple TD(0) agent learns an afterstate value
+  function over lockstep vectorized environments on TPU.</p>
+  <p><b>Train Agent</b>: create or continue an agent (choose n and the
+  learning-rate schedule) and watch the metrics stream in.<br>
+  <b>Test Agent</b>: play N games with a trained agent, optionally
+  deepened by expectimax search (depth/width/since_empty).<br>
+  <b>Watch Agent</b>: live board stream of the agent playing.<br>
+  <b>Replay Game</b>: step through any stored game.<br>
+  <b>Play Yourself</b>: arrow keys.<br>
+  <b>Admin</b>: manage stored artifacts.</p></div>`;
+}
+
+async function agentOptions() {
+  const agents = await api('/api/agents');
+  return agents.map(a => `<option>${a}</option>`).join('');
+}
+
+async function renderTrain() {
+  const spec = await api('/api/params');
+  const opts = await agentOptions();
+  let html = `<h3>Train Agent</h3>
+   <label>agent</label>
+   <select id="t-mode"><option value="new">new agent</option>
+   <option value="existing">continue existing</option></select>
+   <span id="t-existing" style="display:none"><label>existing agent</label>
+   <select id="t-agent">${opts}</select></span>`;
+  for (const p of spec) {
+    if (p.type === 'select')
+      html += `<label>${p.name}</label><select id="p-${p.name}">` +
+        p.options.map(o => `<option ${o==p.default?'selected':''}>${o}</option>`)
+        .join('') + '</select>';
+    else
+      html += `<label>${p.name}</label><input id="p-${p.name}"
+        value="${p.default}" ${p.type==='number'?'type="number"':''}
+        ${p.step?`step="${p.step}"`:''}>`;
+  }
+  html += `<div class="row"><button id="t-start">TRAIN</button>
+    <button id="t-stop">STOP</button><span id="t-status"></span></div>`;
+  $('controls').innerHTML = html;
+  $('t-mode').onchange = () => {
+    $('t-existing').style.display =
+      $('t-mode').value === 'existing' ? 'inline' : 'none';
+  };
+  $('t-start').onclick = async () => {
+    const params = {};
+    for (const p of spec) {
+      const v = $('p-' + p.name).value;
+      params[p.name] = p.type === 'text' ? v : Number(v);
+    }
+    const isNew = $('t-mode').value === 'new';
+    if (!isNew) params.name = $('t-agent').value;
+    try {
+      const r = await post('/api/train/start',
+        {params, new_agent: isNew, parent: 'web'});
+      logKey = r.log; trainAgent = params.name;
+      $('t-status').textContent = 'training...';
+      pollLogs(); pollChart();
+    } catch (e) { $('t-status').textContent = e.message; }
+  };
+  $('t-stop').onclick = async () => {
+    if (trainAgent) await post('/api/train/stop', {name: trainAgent});
+    $('t-status').textContent = 'stopped';
+  };
+}
+
+async function renderTest() {
+  const opts = await agentOptions();
+  $('controls').innerHTML = `<h3>Test Agent</h3>
+   <label>agent</label><select id="e-agent">${opts}</select>
+   <label>games</label><input id="e-num" type="number" value="100">
+   <label>depth</label><input id="e-depth" type="number" value="0">
+   <label>width</label><input id="e-width" type="number" value="1">
+   <label>since_empty</label><input id="e-se" type="number" value="6">
+   <div class="row"><button id="e-start">LAUNCH!</button>
+   <button id="e-stop">STOP</button><span id="e-status"></span></div>`;
+  $('e-start').onclick = async () => {
+    try {
+      const r = await post('/api/test/start', {name: $('e-agent').value,
+        num: +$('e-num').value, depth: +$('e-depth').value,
+        width: +$('e-width').value, since_empty: +$('e-se').value});
+      logKey = r.log; $('e-status').textContent = 'running...'; pollLogs();
+    } catch (e) { $('e-status').textContent = e.message; }
+  };
+  $('e-stop').onclick = () =>
+    post('/api/test/stop', {name: $('e-agent').value});
+}
+
+async function renderWatch() {
+  const opts = await agentOptions();
+  $('controls').innerHTML = `<h3>Watch Agent</h3>
+   <label>agent</label><select id="w-agent">${opts}</select>
+   <label>depth</label><input id="w-depth" type="number" value="0">
+   <label>width</label><input id="w-width" type="number" value="1">
+   <label>since_empty</label><input id="w-se" type="number" value="6">
+   <div class="row"><button id="w-start">LAUNCH!</button>
+   <span id="w-status"></span></div>`;
+  $('w-start').onclick = async () => {
+    try {
+      const r = await post('/api/watch/start', {name: $('w-agent').value,
+        depth: +$('w-depth').value, width: +$('w-width').value,
+        since_empty: +$('w-se').value});
+      watchSession = r.session; frames = []; framePos = 0; paused = false;
+      $('w-status').textContent = 'watching';
+      startAnimator(async () => {
+        const r2 = await api(`/api/watch/frames?session=${watchSession}` +
+          `&since=${frames.length}`);
+        frames.push(...r2.frames);
+        return r2.done;
+      });
+    } catch (e) { $('w-status').textContent = e.message; }
+  };
+  $('stopwatch').onclick = () => {
+    if (watchSession) post('/api/watch/stop', {session: watchSession});
+  };
+}
+
+async function renderReplay() {
+  const games = await api('/api/games');
+  $('controls').innerHTML = `<h3>Replay Game</h3>
+   <label>game</label><select id="r-game">` +
+   games.map(g => `<option>${g}</option>`).join('') + `</select>
+   <div class="row"><button id="r-start">REPLAY</button>
+   <span id="r-status"></span></div>`;
+  $('r-start').onclick = async () => {
+    try {
+      frames = await api(`/api/replay?name=` +
+        encodeURIComponent($('r-game').value));
+      framePos = 0; paused = false;
+      $('r-status').textContent = `${frames.length} frames`;
+      startAnimator(async () => true);
+    } catch (e) { $('r-status').textContent = e.message; }
+  };
+}
+
+function startAnimator(feeder) {
+  clearInterval(timer);
+  const tick = async () => {
+    try { await feeder(); } catch (e) {}
+    if (!paused && framePos < frames.length) {
+      drawFrame(frames[framePos]); framePos++;
+    }
+  };
+  timer = setInterval(tick, +$('speed').value);
+  $('speed').oninput = () => {
+    clearInterval(timer); timer = setInterval(tick, +$('speed').value);
+  };
+}
+$('pause').onclick = () => {
+  paused = !paused;
+  $('pause').textContent = paused ? 'resume' : 'pause';
+};
+
+async function startPlay() {
+  const f = await post('/api/play/new');
+  playSession = f.session;
+  drawFrame(f, true);
+  $('controls').innerHTML = `<h3>Play Yourself</h3>
+    <p style="font-size:13px;max-width:240px">Use the arrow keys or the
+    buttons under the board. R restarts.</p>`;
+}
+async function playMove(dir) {
+  if (!playSession || mode !== 'play') return;
+  const f = await post('/api/play/move',
+    {session: playSession, direction: dir});
+  drawFrame(f, true);
+}
+document.addEventListener('keydown', e => {
+  const map = {ArrowLeft:0, ArrowUp:1, ArrowRight:2, ArrowDown:3};
+  if (mode === 'play' && e.key in map) {
+    e.preventDefault(); playMove(map[e.key]);
+  }
+  if (mode === 'play' && (e.key === 'r' || e.key === 'R')) startPlay();
+});
+document.addEventListener('click', e => {
+  if (e.target.dataset && e.target.dataset.dir !== undefined &&
+      e.target.dataset.dir !== '')
+    playMove(+e.target.dataset.dir);
+});
+$('restart') && ($('restart').onclick = startPlay);
+
+function pollLogs() {
+  const f = async () => {
+    if (!logKey) return;
+    try {
+      const r = await api(`/api/logs?key=${encodeURIComponent(logKey)}`);
+      const el = $('logs');
+      el.textContent = r.text;
+      el.scrollTop = el.scrollHeight;
+      $('dl-logs').href = 'data:text/plain;charset=utf-8,' +
+        encodeURIComponent(r.text);
+    } catch (e) {}
+  };
+  f(); clearInterval(window._logTimer); window._logTimer = setInterval(f, 1000);
+}
+$('clear-logs').onclick = async () => {
+  if (logKey) { await post('/api/logs/clear', {key: logKey}); }
+};
+
+function pollChart() {
+  const f = async () => {
+    if (!trainAgent) return;
+    try {
+      const r = await api(`/api/chart?name=${trainAgent}`);
+      const cv = $('chart'), ctx = cv.getContext('2d');
+      ctx.clearRect(0, 0, cv.width, cv.height);
+      if (!r.y.length) return;
+      const maxY = Math.max(...r.y) * 1.05, n = r.y.length;
+      ctx.strokeStyle = '#8fd460'; ctx.lineWidth = 2; ctx.beginPath();
+      r.y.forEach((v, i) => {
+        const x = 30 + (cv.width - 40) * i / Math.max(n - 1, 1);
+        const y = cv.height - 20 - (cv.height - 40) * v / maxY;
+        i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+      });
+      ctx.stroke();
+      ctx.fillStyle = '#888'; ctx.font = '11px monospace';
+      ctx.fillText(Math.round(maxY), 2, 14);
+      ctx.fillText(`${n * 100} eps`, cv.width - 70, cv.height - 4);
+    } catch (e) {}
+  };
+  f(); clearInterval(window._chartTimer);
+  window._chartTimer = setInterval(f, 5000);
+}
+
+async function renderAdmin() {
+  const files = await api('/api/files');
+  let html = `<h3>Admin — stored files</h3>
+   <div class="row"><input type="file" id="up-file">
+   <input id="up-key" placeholder="key e.g. c/myconf.json">
+   <button id="up-btn">upload</button></div><table>`;
+  for (const f of files)
+    html += `<tr><td><a href="/api/files/${encodeURIComponent(f)}"
+      download>${f}</a></td>
+      <td><button data-del="${f}">delete</button></td></tr>`;
+  $('controls').innerHTML = html + '</table>';
+  document.querySelectorAll('[data-del]').forEach(b => b.onclick =
+    async () => {
+      await fetch('/api/files/' + encodeURIComponent(b.dataset.del),
+                  {method: 'DELETE'});
+      renderAdmin();
+    });
+  $('up-btn').onclick = async () => {
+    const file = $('up-file').files[0];
+    if (!file) return;
+    const key = $('up-key').value || ('c/' + file.name);
+    await fetch('/api/files/' + encodeURIComponent(key),
+                {method: 'PUT', body: await file.arrayBuffer()});
+    renderAdmin();
+  };
+}
+
+(async () => {
+  const modes = await api('/api/modes');
+  $('modes').innerHTML = modes.map(m =>
+    `<button data-m="${m.id}">${m.label}</button>`).join('');
+  document.querySelectorAll('#modes button').forEach(b =>
+    b.onclick = () => setMode(b.dataset.m));
+  setInterval(() => post('/api/heartbeat', {parent: 'web'}), 60000);
+  setMode('guide');
+})();
+</script>
+</body>
+</html>
+"""
