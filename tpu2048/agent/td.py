@@ -70,13 +70,19 @@ class Recorder(NamedTuple):
     best_score: jax.Array  # i32
 
 
+def _num_sym(acfg: AgentConfig) -> int:
+    """Width of the per-step scatter index block: 8 board images in
+    "scatter" mode, identity only in "periodic"/"none" modes."""
+    return 8 if acfg.sym_mode == "scatter" else 1
+
+
 class TDState(NamedTuple):
     weights: jax.Array  # (total,) f32 flat n-tuple table
     alpha: jax.Array  # f32 scalar
     next_decay: jax.Array  # i32 scalar (episode count of next scheduled decay)
     top_tile: jax.Array  # i32 scalar (exponent; ref starts at 10)
     env: engine.EnvState
-    prev_idx: jax.Array  # (N, 8, F) i32 features of previous afterstate
+    prev_idx: jax.Array  # (N, num_sym, F) i32 features of prev afterstate
     prev_value: jax.Array  # (N,) f32
     prev_valid: jax.Array  # (N,) bool
     key: jax.Array
@@ -159,7 +165,7 @@ def init_td_state(
         next_decay=jnp.int32(acfg.decay_step),
         top_tile=jnp.int32(10),  # ref r_learning.py:122
         env=env,
-        prev_idx=jnp.zeros((n, 8, ts.num_feat), jnp.int32),
+        prev_idx=jnp.zeros((n, _num_sym(acfg), ts.num_feat), jnp.int32),
         prev_value=jnp.zeros((n,), jnp.float32),
         prev_valid=jnp.zeros((n,), bool),
         key=key,
@@ -290,7 +296,12 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         )
 
         # --- next-step bootstrap state -----------------------------------
-        sym_idx = ntuple.all_symmetry_indices(ts, chosen.reshape(n, 16))
+        if acfg.sym_mode == "scatter":
+            sym_idx = ntuple.all_symmetry_indices(ts, chosen.reshape(n, 16))
+        else:
+            sym_idx = ntuple.feature_indices(ts, chosen.reshape(n, 16))[
+                :, None, :
+            ]
         prev_idx = jnp.where(done[:, None, None], state.prev_idx, sym_idx)
         prev_value = jnp.where(done, 0.0, best_val)
         prev_valid = ~done
@@ -325,14 +336,36 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
 def make_train_segment(
     ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig
 ):
-    """K train steps rolled with ``lax.scan`` (one jit call per segment)."""
+    """K train steps rolled with ``lax.scan`` (one jit call per segment).
+
+    In "periodic" symmetry mode the segment scatters identity features
+    only inside the scan and folds the accumulated weight delta through
+    the 7 non-identity D4 table transforms once at the end — the same
+    total update as the reference's per-move 8-image scatter, at a
+    fraction of the scatter traffic (see features/symmetry.py).
+    """
     step = make_train_step(ts, acfg, tcfg)
 
     def segment(state: TDState) -> TDState:
+        w0 = state.weights
+
         def body(s, _):
             return step(s), None
 
         out, _ = jax.lax.scan(body, state, None, length=tcfg.steps_per_call)
+        if acfg.sym_mode == "periodic":
+            from ..features.symmetry import symmetrize_table
+
+            # Project onto the D4-symmetric subspace (orbit average).
+            # Adding the folded delta at full weight would apply 7x the
+            # per-entry mass in one lump without the move-by-move TD
+            # feedback the reference's incremental 8-image scatter gets,
+            # and diverges; the projection is non-expansive, keeps each
+            # board's own per-move learning rate at the reference's
+            # alpha, and shares updates across the orbit exactly like
+            # the converged reference table (which lives in this
+            # subspace up to its asymmetric random init).
+            out = out._replace(weights=symmetrize_table(ts, out.weights))
         return out
 
     return segment

@@ -34,6 +34,16 @@ class AgentConfig:
     # "sum": raw scatter-add, exactly the reference numerics at
     # num_envs=1 (used by the sequential-equivalence tests).
     update_mode: str = "mean"
+    # How the D4 symmetry updates are realized:
+    # "periodic": scatter identity features only on the hot path and
+    #   fold the accumulated delta through the 7 non-identity table
+    #   transforms once per jitted segment (bandwidth-cheap transposes;
+    #   mathematically the same total update, arriving with at most
+    #   steps_per_call delay) — the TPU-fast default.
+    # "scatter": per-step 8-image scatter, the reference's exact
+    #   per-move semantics (used by sequential-equivalence tests).
+    # "none": no symmetry coupling at all (ablation).
+    sym_mode: str = "periodic"
 
 
 @dataclass(frozen=True)
