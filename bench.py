@@ -86,13 +86,18 @@ def bench_eval(n_envs=8192, k=128, reps=4):
     from tpu2048.engine import core as eng
     from tpu2048.features import ntuple
 
+    from tpu2048.ops import dispatch as table_dispatch
+
     ts = ntuple.get_tuple_set(4)
     w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
+    select = td.make_select_greedy(
+        ts, table_dispatch.make_evaluator(ts, "auto")
+    )
 
     def roll(boards, key):
         def body(c, _):
             b, k2 = c
-            chosen, bd, bv, bdelta, done = td.select_greedy(ts, w, b)
+            chosen, bd, bv, bdelta, done = select(w, b)
             k2, ks, kr = jax.random.split(k2, 3)
             nb, _, _ = eng.spawn(chosen, ks)
             nb = jnp.where(done[:, None, None], eng.new_boards(n_envs, kr), nb)

@@ -104,29 +104,44 @@ def evaluate_boards(
     return weights[idx].sum(axis=-1)
 
 
+def make_select_greedy(ts: ntuple.TupleSet, eval_fn=None):
+    """Build the batched greedy afterstate selector (ref
+    ``_find_best_move`` / the argmax in ``episode``,
+    ``r_learning.py:229-237``) over a pluggable table evaluator
+    (gather / one-hot MXU / Pallas — see tpu2048/ops/dispatch.py).
+    """
+    if eval_fn is None:
+        def eval_fn(weights, flat_boards):
+            return ntuple.evaluate(ts, weights, flat_boards)
+
+    def select(weights: jax.Array, boards: jax.Array):
+        """Returns (chosen (N,4,4), best_dir (N,), best_val (N,),
+        delta (N,), done (N,)).  ``done`` = no legal move = game over.
+        Ties break toward the lowest direction index, like the
+        reference's strict ``>`` scan over directions 0..3."""
+        aft, delta, legal = engine.afterstates(boards)  # (4,N,...)
+        vals = eval_fn(
+            weights, aft.reshape(aft.shape[:-2] + (16,))
+        )  # (4, N)
+        neg = jnp.float32(-jnp.inf)
+        masked = jnp.where(legal, vals, neg)
+        best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
+        n = boards.shape[0]
+        ar = jnp.arange(n)
+        best_val = masked[best_dir, ar]
+        best_delta = delta[best_dir, ar]
+        chosen = aft[best_dir, ar]
+        done = ~legal.any(axis=0)
+        return chosen, best_dir, best_val, best_delta, done
+
+    return select
+
+
 def select_greedy(
     ts: ntuple.TupleSet, weights: jax.Array, boards: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Batched greedy afterstate selection (ref ``_find_best_move`` /
-    the argmax in ``episode``, ``r_learning.py:229-237``).
-
-    Returns (chosen (N,4,4), best_dir (N,), best_val (N,), delta (N,),
-    done (N,)).  ``done`` = no legal move = game over in the current
-    state.  Ties break toward the lowest direction index, like the
-    reference's strict ``>`` scan over directions 0..3.
-    """
-    aft, delta, legal = engine.afterstates(boards)  # (4,N,...)
-    vals = evaluate_boards(ts, weights, aft)  # (4, N)
-    neg = jnp.float32(-jnp.inf)
-    masked = jnp.where(legal, vals, neg)
-    best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)  # first max wins
-    n = boards.shape[0]
-    ar = jnp.arange(n)
-    best_val = masked[best_dir, ar]
-    best_delta = delta[best_dir, ar]
-    chosen = aft[best_dir, ar]
-    done = ~legal.any(axis=0)
-    return chosen, best_dir, best_val, best_delta, done
+    """Gather-mode convenience wrapper around ``make_select_greedy``."""
+    return make_select_greedy(ts)(weights, boards)
 
 
 def init_td_state(
@@ -181,6 +196,16 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
     ring = tcfg.ring_size
     r_env = max(1, min(tcfg.record_envs, tcfg.num_envs))
     s_max = tcfg.max_record_steps
+    num_sym = _num_sym(acfg)
+
+    from ..ops import dispatch as table_dispatch
+
+    select = make_select_greedy(
+        ts, table_dispatch.make_evaluator(ts, acfg.table_ops)
+    )
+    update = table_dispatch.make_updater(
+        ts, acfg.table_ops, mean=(acfg.update_mode == "mean")
+    )
 
     def train_step(state: TDState) -> TDState:
         key, k_spawn, k_reset = jax.random.split(state.key, 3)
@@ -188,31 +213,27 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         n = boards.shape[0]
         ar = jnp.arange(n)
 
-        chosen, best_dir, best_val, best_delta, done = select_greedy(
-            ts, state.weights, boards
+        chosen, best_dir, best_val, best_delta, done = select(
+            state.weights, boards
         )
 
         # --- TD update of the previous afterstate -----------------------
+        # Collision-aware batched TD ("mean" mode): each entry's summed
+        # update is normalized by its hit count this step, so hot
+        # entries see the same effective step size as in sequential TD.
         td_err = jnp.where(done, -state.prev_value,
                            best_delta.astype(jnp.float32) + best_val
                            - state.prev_value)
         dw = jnp.where(state.prev_valid, td_err, 0.0) * (
             state.alpha / jnp.float32(num_feat)
         )
-        upd = jnp.broadcast_to(dw[:, None, None], state.prev_idx.shape)
-        if acfg.update_mode == "mean":
-            # Collision-aware batched TD: normalize each entry's update
-            # by how many lockstep envs hit it this step, so hot entries
-            # see the same effective step size as in sequential TD.
-            contrib = jnp.broadcast_to(
-                state.prev_valid[:, None, None], state.prev_idx.shape
-            ).astype(jnp.float32)
-            hits = jnp.zeros_like(state.weights).at[state.prev_idx].add(
-                contrib, mode="drop"
-            )
-            upd = upd / jnp.maximum(hits[state.prev_idx], 1.0)
-        weights = state.weights.at[state.prev_idx].add(
-            upd, mode="drop", unique_indices=False
+        weights = update(
+            state.weights,
+            state.prev_idx.reshape(n * num_sym, num_feat),
+            jnp.broadcast_to(dw[:, None], (n, num_sym)).reshape(-1),
+            jnp.broadcast_to(
+                state.prev_valid[:, None], (n, num_sym)
+            ).reshape(-1),
         )
 
         # --- advance the environments -----------------------------------
@@ -377,6 +398,7 @@ def greedy_step(
     env: engine.EnvState,
     key: jax.Array,
     active: jax.Array,
+    select=None,
 ) -> Tuple[engine.EnvState, jax.Array, jax.Array]:
     """One policy-only step for evaluation/watching.
 
@@ -386,7 +408,9 @@ def greedy_step(
     """
     boards = env.boards
     n = boards.shape[0]
-    chosen, best_dir, _, best_delta, done = select_greedy(ts, weights, boards)
+    if select is None:
+        select = make_select_greedy(ts)
+    chosen, best_dir, _, best_delta, done = select(weights, boards)
     step_mask = active & ~done
     moved = jnp.where(step_mask[:, None, None], chosen, boards)
     spawned, _, _ = engine.spawn(moved, key)

@@ -44,6 +44,13 @@ class AgentConfig:
     #   per-move semantics (used by sequential-equivalence tests).
     # "none": no symmetry coupling at all (ablation).
     sym_mode: str = "periodic"
+    # How weight-table lookups/updates hit the hardware (identical
+    # numerics up to ~2^-18 rounding, see tpu2048/ops/dispatch.py):
+    # "auto": fused Pallas kernels on TPU, gather elsewhere;
+    # "gather": XLA gather/scatter; "onehot": two-level one-hot MXU
+    # matmuls in plain XLA; "pallas": fused Pallas kernels with
+    # VMEM-resident tables (TPU fast path, ~2x train throughput).
+    table_ops: str = "auto"
 
 
 @dataclass(frozen=True)
