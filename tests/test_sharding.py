@@ -92,3 +92,36 @@ def test_entry_forward():
     best_dir, best_val, done = out
     assert best_dir.shape == (1024,)
     assert np.isfinite(np.asarray(best_val)[~np.asarray(done)]).all()
+
+
+def test_model_axis_table_sharding():
+    """TP analogue: mesh with model>1 shards the weight table along
+    the model axis and the sharded segment still runs (GSPMD inserts
+    the all-gather-on-read)."""
+    ts = ntuple.get_tuple_set(2)
+    acfg = AgentConfig(n=2)
+    tcfg = TrainConfig(
+        num_envs=32, steps_per_call=8, ring_size=64, record_envs=2,
+        max_record_steps=128, seed=0,
+    )
+    m = pmesh.make_mesh(MeshConfig(data=2, model=4))
+    state = td.init_td_state(ts, acfg, tcfg, jax.random.PRNGKey(0))
+    state = pmesh.shard_td_state(state, m)
+    assert state.weights.sharding.spec == P("model")
+    assert state.env.boards.sharding.spec == P("data")
+    seg = pmesh.make_sharded_train_segment(ts, acfg, tcfg, m)
+    out = seg(state)
+    assert float(jnp.abs(out.weights).sum()) > 0.0
+
+
+def test_distributed_single_host_noop(monkeypatch):
+    """initialize() is a no-op off-pod with no explicit coordinator."""
+    from tpu2048.parallel import distributed
+
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    assert distributed.initialize() is False
+    m = distributed.global_mesh()
+    assert m.devices.size == len(jax.devices())
+    s = distributed.process_env_slice(128)
+    assert (s.start, s.stop) == (0, 128)

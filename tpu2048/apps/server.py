@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import threading
 import time
 import urllib.parse
@@ -245,11 +246,17 @@ class AppServer:
 
 
 def main(argv=None):
+    # env-var overrides mirror the reference's PORT / S3_URL contract
+    # (application.py:898, start.py:22) with the typed-config names.
     p = argparse.ArgumentParser(description="tpu2048 web service")
-    p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--port", type=int, default=8048)
-    p.add_argument("--store", default="~/.tpu2048")
-    p.add_argument("--backend", default="local",
+    p.add_argument("--host", default=os.environ.get("TPU2048_HOST",
+                                                    "127.0.0.1"))
+    p.add_argument("--port", type=int,
+                   default=int(os.environ.get("PORT", 8048)))
+    p.add_argument("--store",
+                   default=os.environ.get("TPU2048_STORE", "~/.tpu2048"))
+    p.add_argument("--backend",
+                   default=os.environ.get("TPU2048_BACKEND", "local"),
                    choices=["local", "memory", "s3"])
     p.add_argument("--num-envs", type=int, default=1024,
                    help="lockstep envs per training job")

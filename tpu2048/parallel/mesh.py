@@ -49,15 +49,24 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
 
 def td_state_shardings(mesh: Mesh) -> TDState:
     """NamedSharding pytree for a TDState: per-env leaves on ``data``,
-    table + scalars + metrics + recorder replicated."""
+    scalars + metrics + recorder replicated.
+
+    The weight table is replicated when the mesh's ``model`` axis is
+    trivial (the common case — 4–70 MB fits HBM), and sharded along
+    ``model`` otherwise: the tensor-parallel analogue for very large
+    tuple sets (SURVEY §2.2 TP row — e.g. n=6's 12x14^6 tables).
+    GSPMD then inserts the all-gather-on-read for evaluation gathers
+    and keeps each shard's scatter-add local.
+    """
 
     def s(*spec):
         return NamedSharding(mesh, P(*spec))
 
     rep = s()
     data = s("data")
+    table = rep if mesh.shape.get("model", 1) == 1 else s("model")
     return TDState(
-        weights=rep,
+        weights=table,
         alpha=rep,
         next_decay=rep,
         top_tile=rep,
