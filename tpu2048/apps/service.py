@@ -243,18 +243,59 @@ class AppService:
         acfg, weights, _ = ckpt.load_agent(self.store, name)
         ts = ntuple.get_tuple_set(acfg.n)
         w = np.asarray(weights)
-        matrix, offsets = ts.matrix, ts.offsets
-
-        def estimator(row: np.ndarray, score: int) -> float:
-            v = np.concatenate([row.ravel(), np.minimum(row.ravel(), 13)])
-            idx = (matrix @ v.astype(np.float64)).astype(np.int64) + offsets
-            return float(w[idx].sum())
 
         session_id = uuid.uuid4().hex[:12]
         ws = WatchSession()
         self.watches[session_id] = ws
 
-        def body(job: Job):
+        native_engine = None
+        try:
+            from .. import native as native_mod
+
+            if native_mod.available():
+                native_engine = native_mod.NativeEngine(
+                    ts, w, seed=random.getrandbits(32)
+                )
+        except Exception:  # pragma: no cover - toolchain-less hosts
+            native_engine = None
+
+        def body_native(job: Job):
+            # C++ fast path: greedy/expectimax stepping at ms latency
+            # even for the reference's 1 s/move depth-3 searches.
+            ne = native_engine
+            board = np.zeros((4, 4), np.int8)
+            board, _, _ = ne.spawn(board)
+            board, _, _ = ne.spawn(board)
+            score, odo = 0, 0
+            ws.add(_frame(board, 0, 0, -2))
+            while not job.should_stop():
+                d, aft, delta = ne.best_move(
+                    board, depth=depth, width=width,
+                    since_empty=since_empty,
+                )
+                if d < 0:
+                    break
+                ws.add(_frame(board, score, odo, d))
+                score += delta
+                odo += 1
+                board, _, _ = ne.spawn(aft)
+                if len(ws.frames) > 100000:
+                    break
+            ws.add(_frame(board, score, odo, -1))
+            ws.done = True
+
+        def body_python(job: Job):
+            matrix, offsets = ts.matrix, ts.offsets
+
+            def estimator(row: np.ndarray, score: int) -> float:
+                v = np.concatenate(
+                    [row.ravel(), np.minimum(row.ravel(), 13)]
+                )
+                idx = (matrix @ v.astype(np.float64)).astype(
+                    np.int64
+                ) + offsets
+                return float(w[idx].sum())
+
             game = ParityGame(rng=random.Random())
             ws.add(_frame(game.row, 0, 0, -2))
             for state, move in game.generate_run(
@@ -269,6 +310,7 @@ class AppService:
             ws.add(_frame(game.row, game.score, game.odometer, -1))
             ws.done = True
 
+        body = body_native if native_engine is not None else body_python
         self.jobs.start(body, "watch", session_id, parent=parent)
         return session_id
 
