@@ -35,6 +35,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import AgentConfig, TrainConfig
 from ..engine import core as engine
@@ -156,11 +157,18 @@ def init_td_state(
     kw, ke = jax.random.split(jax.random.PRNGKey(tcfg.seed) if key is None else key)
     if weights is None:
         weights = ntuple.init_weights(ts, kw)
-    env = engine.init_env(n, ke)
+    if acfg.engine_mode == "codes":
+        from ..engine import fast as engf
+
+        env = engf.init_env_codes(n, ke)
+        start_boards = engf.boards_from_codes(env.codes[:r_env])
+    else:
+        env = engine.init_env(n, ke)
+        start_boards = env.boards[:r_env]
     rec = Recorder(
         moves=jnp.zeros((r_env, s), jnp.int8),
         spawns=jnp.zeros((r_env, s), jnp.int8),
-        starts=env.boards[:r_env],
+        starts=start_boards,
         best_moves=jnp.zeros((s,), jnp.int8),
         best_spawns=jnp.zeros((s,), jnp.int8),
         best_start=jnp.zeros((4, 4), jnp.int8),
@@ -207,15 +215,49 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         ts, acfg.table_ops, mean=(acfg.update_mode == "mean")
     )
 
+    eval_fn = table_dispatch.make_evaluator(ts, acfg.table_ops)
+    codes_mode = acfg.engine_mode == "codes"
+    if codes_mode:
+        from ..engine import fast as engf
+
+        # transposed-cell -> canonical-cell permutation (cell (i,j)
+        # of the transposed board is cell (j,i) of the canonical one)
+        _tperm = np.arange(16).reshape(4, 4).T.reshape(16)
+
     def train_step(state: TDState) -> TDState:
         key, k_spawn, k_reset = jax.random.split(state.key, 3)
-        boards, score = state.env.boards, state.env.score
-        n = boards.shape[0]
+        score = state.env.score
+        n = score.shape[0]
         ar = jnp.arange(n)
 
-        chosen, best_dir, best_val, best_delta, done = select(
-            state.weights, boards
-        )
+        if codes_mode:
+            # packed-codes move resolution: up/down come back in
+            # transposed orientation; permuting their cells restores
+            # canonical feature indices without transposing boards.
+            codes = state.env.codes
+            aftc, delta4, legal = engf.afterstates_codes(codes)
+            cells4 = engf.cells_from_codes(aftc)  # (4, N, 16)
+            perm = jnp.asarray(_tperm)
+            cells4 = jnp.stack(
+                [cells4[0], cells4[1][..., perm],
+                 cells4[2], cells4[3][..., perm]]
+            )
+            vals = eval_fn(state.weights, cells4)  # (4, N)
+            masked = jnp.where(legal, vals, -jnp.inf)
+            best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
+            best_val = masked[best_dir, ar]
+            best_delta = delta4[best_dir, ar]
+            done = ~legal.any(axis=0)
+            chosen_cells = cells4[best_dir, ar]  # canonical (N, 16)
+            chosen_codes = engf.canonicalize_chosen(
+                aftc[best_dir, ar], best_dir
+            )
+        else:
+            boards = state.env.boards
+            chosen, best_dir, best_val, best_delta, done = select(
+                state.weights, boards
+            )
+            chosen_cells = chosen.reshape(n, 16)
 
         # --- TD update of the previous afterstate -----------------------
         # Collision-aware batched TD ("mean" mode): each entry's summed
@@ -237,12 +279,20 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         )
 
         # --- advance the environments -----------------------------------
-        moved = jnp.where(done[:, None, None], boards, chosen)
         new_score = jnp.where(done, score, score + best_delta)
         new_odo = jnp.where(done, state.env.odometer, state.env.odometer + 1)
-        spawned, pos, val = engine.spawn(moved, k_spawn)
-        spawned = jnp.where(done[:, None, None], boards, spawned)
-        env = engine.EnvState(boards=spawned, score=new_score, odometer=new_odo)
+        if codes_mode:
+            moved_c = jnp.where(done[:, None], codes, chosen_codes)
+            spawned_c, pos, val = engf.spawn_codes(moved_c, k_spawn)
+            spawned_c = jnp.where(done[:, None], codes, spawned_c)
+            env = engf.EnvStateC(codes=spawned_c, score=new_score,
+                                 odometer=new_odo)
+        else:
+            moved = jnp.where(done[:, None, None], boards, chosen)
+            spawned, pos, val = engine.spawn(moved, k_spawn)
+            spawned = jnp.where(done[:, None, None], boards, spawned)
+            env = engine.EnvState(boards=spawned, score=new_score,
+                                  odometer=new_odo)
 
         # --- recorder: log (move, spawn) for the recorded subset --------
         rec = state.recorder
@@ -277,7 +327,8 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         order = jnp.cumsum(done.astype(jnp.int32)) - 1
         wpos = jnp.where(done, (met.ring_pos + order) % ring, ring)
         score_ring = met.score_ring.at[wpos].set(score, mode="drop")
-        tiles = engine.max_tile(boards)
+        tiles = (engf.max_tile_codes(codes) if codes_mode
+                 else engine.max_tile(boards))
         tile_ring = met.tile_ring.at[wpos].set(tiles, mode="drop")
         ep_best = jnp.where(done, score, 0).max()
         metrics = Metrics(
@@ -311,16 +362,21 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         )
 
         # --- auto-reset finished envs ------------------------------------
-        env = engine.reset_where(env, done, k_reset)
+        if codes_mode:
+            env = engf.reset_where_codes(env, done, k_reset)
+            fresh_boards = engf.boards_from_codes(env.codes[:r_env])
+        else:
+            env = engine.reset_where(env, done, k_reset)
+            fresh_boards = env.boards[:r_env]
         starts = jnp.where(
-            done[:r_env, None, None], env.boards[:r_env], rec.starts
+            done[:r_env, None, None], fresh_boards, rec.starts
         )
 
         # --- next-step bootstrap state -----------------------------------
         if acfg.sym_mode == "scatter":
-            sym_idx = ntuple.all_symmetry_indices(ts, chosen.reshape(n, 16))
+            sym_idx = ntuple.all_symmetry_indices(ts, chosen_cells)
         else:
-            sym_idx = ntuple.feature_indices(ts, chosen.reshape(n, 16))[
+            sym_idx = ntuple.feature_indices(ts, chosen_cells)[
                 :, None, :
             ]
         prev_idx = jnp.where(done[:, None, None], state.prev_idx, sym_idx)

@@ -51,6 +51,11 @@ class AgentConfig:
     # matmuls in plain XLA; "pallas": fused Pallas kernels with
     # VMEM-resident tables (TPU fast path, ~2x train throughput).
     table_ops: str = "auto"
+    # Board representation in the train step (identical rollouts):
+    # "cells": (N,4,4) int8 boards (reference-shaped, portable);
+    # "codes": (N,4) int32 packed row codes — no rot90 relayouts,
+    # half the LUT gather traffic (engine/fast.py).
+    engine_mode: str = "cells"
 
 
 @dataclass(frozen=True)

@@ -47,7 +47,7 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("data", "model"))
 
 
-def td_state_shardings(mesh: Mesh) -> TDState:
+def td_state_shardings(mesh: Mesh, engine_mode: str = "cells") -> TDState:
     """NamedSharding pytree for a TDState: per-env leaves on ``data``,
     scalars + metrics + recorder replicated.
 
@@ -65,12 +65,18 @@ def td_state_shardings(mesh: Mesh) -> TDState:
     rep = s()
     data = s("data")
     table = rep if mesh.shape.get("model", 1) == 1 else s("model")
+    if engine_mode == "codes":
+        from ..engine.fast import EnvStateC
+
+        env_sh = EnvStateC(codes=data, score=data, odometer=data)
+    else:
+        env_sh = EnvState(boards=data, score=data, odometer=data)
     return TDState(
         weights=table,
         alpha=rep,
         next_decay=rep,
         top_tile=rep,
-        env=EnvState(boards=data, score=data, odometer=data),
+        env=env_sh,
         prev_idx=data,
         prev_value=data,
         prev_valid=data,
@@ -97,7 +103,10 @@ def td_state_shardings(mesh: Mesh) -> TDState:
 
 def shard_td_state(state: TDState, mesh: Mesh) -> TDState:
     """Place a TDState onto the mesh with the canonical shardings."""
-    sh = td_state_shardings(mesh)
+    from ..engine.fast import EnvStateC
+
+    mode = "codes" if isinstance(state.env, EnvStateC) else "cells"
+    sh = td_state_shardings(mesh, mode)
     return jax.device_put(state, sh)
 
 
@@ -110,6 +119,6 @@ def make_sharded_train_segment(ts, acfg, tcfg, mesh: Mesh):
     from ..agent.td import make_train_segment
 
     seg = make_train_segment(ts, acfg, tcfg)
-    sh = td_state_shardings(mesh)
+    sh = td_state_shardings(mesh, acfg.engine_mode)
     return jax.jit(seg, in_shardings=(sh,), out_shardings=sh,
                    donate_argnums=0)
