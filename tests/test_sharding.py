@@ -26,7 +26,7 @@ def test_mesh_shapes():
 
 def test_sharded_train_segment_runs_and_learns():
     ts = ntuple.get_tuple_set(2)
-    acfg = AgentConfig(n=2)
+    acfg = AgentConfig(n=2, engine_mode="cells")
     tcfg = TrainConfig(
         num_envs=128, steps_per_call=32, ring_size=256, record_envs=4,
         max_record_steps=512, seed=0,
@@ -99,7 +99,7 @@ def test_model_axis_table_sharding():
     the model axis and the sharded segment still runs (GSPMD inserts
     the all-gather-on-read)."""
     ts = ntuple.get_tuple_set(2)
-    acfg = AgentConfig(n=2)
+    acfg = AgentConfig(n=2, engine_mode="cells")
     tcfg = TrainConfig(
         num_envs=32, steps_per_call=8, ring_size=64, record_envs=2,
         max_record_steps=128, seed=0,

@@ -74,7 +74,8 @@ def scalar_reference_update(ts, w, boards, prev_idx, prev_value, prev_valid,
 @pytest.mark.parametrize("mode", ["sum", "mean"])
 def test_train_step_update_numerics(rng, mode):
     ts = ntuple.get_tuple_set(2)
-    acfg = AgentConfig(n=2, update_mode=mode, sym_mode="scatter")
+    acfg = AgentConfig(n=2, update_mode=mode, sym_mode="scatter",
+                       engine_mode="cells")
     tcfg = TrainConfig(
         num_envs=16, steps_per_call=1, ring_size=64, record_envs=4,
         max_record_steps=256, seed=0,
@@ -111,7 +112,7 @@ def test_train_step_update_numerics(rng, mode):
 
 def test_terminal_env_resets_and_counts():
     ts = ntuple.get_tuple_set(2)
-    acfg = AgentConfig(n=2, sym_mode="scatter")
+    acfg = AgentConfig(n=2, sym_mode="scatter", engine_mode="cells")
     tcfg = TrainConfig(
         num_envs=4, steps_per_call=1, ring_size=64, record_envs=2,
         max_record_steps=64, seed=0,

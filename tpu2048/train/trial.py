@@ -47,8 +47,13 @@ class _EvalState(NamedTuple):
 
 
 def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
-                       k: int, limit_tile: int):
-    value_fn = lambda b: td.evaluate_boards(ts, weights, b)  # noqa: E731
+                       k: int, limit_tile: int, table_ops: str = "auto"):
+    from ..ops import dispatch as table_dispatch
+
+    eval_fn = table_dispatch.make_evaluator(ts, table_ops)
+
+    def value_fn(b):
+        return eval_fn(weights, b.reshape(b.shape[:-2] + (16,)))
     estimator = make_expectimax_estimator(
         value_fn, scfg.depth, scfg.width, scfg.since_empty
     )
