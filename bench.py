@@ -50,27 +50,26 @@ def bench_train(n_envs=8192, k=128, reps=4):
 
 
 def bench_engine(n_envs=8192, k=256, reps=6):
-    """Engine-only lockstep stepping: afterstates + spawn + auto-reset."""
-    from tpu2048.engine import core as eng
+    """Engine-only lockstep stepping: afterstates + spawn + auto-reset
+    (packed row-code representation, the train-path engine)."""
+    from tpu2048.engine import fast as eng
 
-    def roll(boards, key):
+    def roll(codes, key):
         def body(c, _):
-            b, k2 = c
-            aft, delta, legal = eng.afterstates(b)
+            cd, k2 = c
+            aft, delta, legal = eng.afterstates_codes(cd)
             done = ~legal.any(axis=0)
             k2, ks, kr = jax.random.split(k2, 3)
-            nb, _, _ = eng.spawn(aft[0], ks)
-            nb = jnp.where(done[:, None, None], eng.new_boards(n_envs, kr), nb)
-            return (nb, k2), None
-        (boards, key), _ = jax.lax.scan(body, (boards, key), None, length=k)
-        return boards
+            nc, _, _ = eng.spawn_codes(aft[0], ks)
+            nc = jnp.where(done[:, None], eng.new_codes(n_envs, kr), nc)
+            return (nc, k2), None
+        (codes, key), _ = jax.lax.scan(body, (codes, key), None, length=k)
+        return codes
 
     f = jax.jit(roll)
     key = jax.random.PRNGKey(0)
-    from tpu2048.engine import core as eng2
-
-    boards = eng2.new_boards(n_envs, key)
-    out = f(boards, key)
+    codes = eng.new_codes(n_envs, key)
+    out = f(codes, key)
     _sync(out)
     t0 = time.time()
     for _ in range(reps):
@@ -81,34 +80,45 @@ def bench_engine(n_envs=8192, k=256, reps=6):
 
 
 def bench_eval(n_envs=8192, k=128, reps=4):
-    """Greedy policy inference throughput (trained-agent play)."""
-    from tpu2048.agent import td
-    from tpu2048.engine import core as eng
-    from tpu2048.features import ntuple
+    """Greedy policy inference throughput (trained-agent play):
+    codes engine + MXU table eval, the production serve path."""
+    import numpy as np_
 
+    from tpu2048.engine import fast as eng
+    from tpu2048.features import ntuple
     from tpu2048.ops import dispatch as table_dispatch
 
     ts = ntuple.get_tuple_set(4)
     w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
-    select = td.make_select_greedy(
-        ts, table_dispatch.make_evaluator(ts, "auto")
-    )
+    eval_fn = table_dispatch.make_evaluator(ts, "auto")
+    tperm = jnp.asarray(np_.arange(16).reshape(4, 4).T.reshape(16))
 
-    def roll(boards, key):
+    def roll(codes, key):
         def body(c, _):
-            b, k2 = c
-            chosen, bd, bv, bdelta, done = select(w, b)
+            cd, k2 = c
+            aft, delta, legal = eng.afterstates_codes(cd)
+            cells4 = eng.cells_from_codes(aft)
+            cells4 = jnp.stack(
+                [cells4[0], cells4[1][..., tperm],
+                 cells4[2], cells4[3][..., tperm]]
+            )
+            vals = eval_fn(w, cells4)
+            masked = jnp.where(legal, vals, -jnp.inf)
+            bd = jnp.argmax(masked, axis=0).astype(jnp.int32)
+            ar = jnp.arange(n_envs)
+            chosen = eng.canonicalize_chosen(aft[bd, ar], bd)
+            done = ~legal.any(axis=0)
             k2, ks, kr = jax.random.split(k2, 3)
-            nb, _, _ = eng.spawn(chosen, ks)
-            nb = jnp.where(done[:, None, None], eng.new_boards(n_envs, kr), nb)
-            return (nb, k2), None
-        (boards, key), _ = jax.lax.scan(body, (boards, key), None, length=k)
-        return boards
+            nc, _, _ = eng.spawn_codes(chosen, ks)
+            nc = jnp.where(done[:, None], eng.new_codes(n_envs, kr), nc)
+            return (nc, k2), None
+        (codes, key), _ = jax.lax.scan(body, (codes, key), None, length=k)
+        return codes
 
     f = jax.jit(roll)
     key = jax.random.PRNGKey(0)
-    boards = eng.new_boards(n_envs, key)
-    out = f(boards, key)
+    codes = eng.new_codes(n_envs, key)
+    out = f(codes, key)
     _sync(out)
     t0 = time.time()
     for _ in range(reps):
