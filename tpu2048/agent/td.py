@@ -79,6 +79,10 @@ def _num_sym(acfg: AgentConfig) -> int:
 
 class TDState(NamedTuple):
     weights: jax.Array  # (total,) f32 flat n-tuple table
+    # temporal-coherence accumulators ((total,) in "tc" mode, (0,)
+    # placeholders under "sgd" so the pytree structure is static)
+    opt_e: jax.Array  # signed TD-delta sums per weight
+    opt_a: jax.Array  # absolute TD-delta sums per weight
     alpha: jax.Array  # f32 scalar
     next_decay: jax.Array  # i32 scalar (episode count of next scheduled decay)
     top_tile: jax.Array  # i32 scalar (exponent; ref starts at 10)
@@ -182,8 +186,12 @@ def init_td_state(
         ring_pos=jnp.int32(0),
         best_score=jnp.int32(0),
     )
+    tc = acfg.optimizer == "tc"
+    opt_shape = (ts.total,) if tc else (0,)
     return TDState(
         weights=weights,
+        opt_e=jnp.zeros(opt_shape, jnp.float32),
+        opt_a=jnp.zeros(opt_shape, jnp.float32),
         alpha=jnp.float32(acfg.alpha),
         next_decay=jnp.int32(acfg.decay_step),
         top_tile=jnp.int32(10),  # ref r_learning.py:122
@@ -211,9 +219,15 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
     select = make_select_greedy(
         ts, table_dispatch.make_evaluator(ts, acfg.table_ops)
     )
-    update = table_dispatch.make_updater(
-        ts, acfg.table_ops, mean=(acfg.update_mode == "mean")
-    )
+    tc_mode = acfg.optimizer == "tc"
+    if tc_mode:
+        accumulate = table_dispatch.make_delta_accumulator(
+            ts, acfg.table_ops
+        )
+    else:
+        update = table_dispatch.make_updater(
+            ts, acfg.table_ops, mean=(acfg.update_mode == "mean")
+        )
 
     eval_fn = table_dispatch.make_evaluator(ts, acfg.table_ops)
     codes_mode = acfg.engine_mode == "codes"
@@ -266,17 +280,42 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         td_err = jnp.where(done, -state.prev_value,
                            best_delta.astype(jnp.float32) + best_val
                            - state.prev_value)
-        dw = jnp.where(state.prev_valid, td_err, 0.0) * (
-            state.alpha / jnp.float32(num_feat)
-        )
-        weights = update(
-            state.weights,
-            state.prev_idx.reshape(n * num_sym, num_feat),
-            jnp.broadcast_to(dw[:, None], (n, num_sym)).reshape(-1),
-            jnp.broadcast_to(
-                state.prev_valid[:, None], (n, num_sym)
-            ).reshape(-1),
-        )
+        idx_flat = state.prev_idx.reshape(n * num_sym, num_feat)
+        valid_flat = jnp.broadcast_to(
+            state.prev_valid[:, None], (n, num_sym)
+        ).reshape(-1)
+        if tc_mode:
+            # Temporal coherence (Jaskowski 2016): per-weight rate
+            # |E|/A, self-annealing; alpha is a global meta-rate.
+            delta = jnp.where(state.prev_valid, td_err, 0.0) / jnp.float32(
+                num_feat
+            )
+            dsum, hits = accumulate(
+                state.weights,
+                idx_flat,
+                jnp.broadcast_to(delta[:, None], (n, num_sym)).reshape(-1),
+                valid_flat,
+            )
+            dbar = dsum / jnp.maximum(hits, 1.0)
+            lr = jnp.where(
+                state.opt_a > 0.0,
+                jnp.abs(state.opt_e) / jnp.maximum(state.opt_a, 1e-30),
+                1.0,
+            )
+            weights = state.weights + state.alpha * lr * dbar
+            opt_e = state.opt_e + dbar
+            opt_a = state.opt_a + jnp.abs(dbar)
+        else:
+            dw = jnp.where(state.prev_valid, td_err, 0.0) * (
+                state.alpha / jnp.float32(num_feat)
+            )
+            weights = update(
+                state.weights,
+                idx_flat,
+                jnp.broadcast_to(dw[:, None], (n, num_sym)).reshape(-1),
+                valid_flat,
+            )
+            opt_e, opt_a = state.opt_e, state.opt_a
 
         # --- advance the environments -----------------------------------
         new_score = jnp.where(done, score, score + best_delta)
@@ -339,27 +378,31 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             best_score=jnp.maximum(met.best_score, ep_best),
         )
 
-        # --- alpha schedule ----------------------------------------------
+        # --- alpha schedule (skipped for the self-annealing TC rule) -----
         alpha, next_decay = state.alpha, state.next_decay
-        trig1 = (metrics.episodes > next_decay) & (
-            alpha > jnp.float32(acfg.low_alpha_limit)
-        )
-        alpha = jnp.where(
-            trig1,
-            _round4(jnp.maximum(alpha * acfg.decay, acfg.low_alpha_limit)),
-            alpha,
-        )
         mt_done = jnp.where(done, tiles, 0).max()
-        trig2 = mt_done > state.top_tile
         top_tile = jnp.maximum(state.top_tile, mt_done)
-        alpha = jnp.where(
-            trig2,
-            _round4(jnp.maximum(alpha * acfg.decay, acfg.low_alpha_limit)),
-            alpha,
-        )
-        next_decay = jnp.where(
-            trig1 | trig2, metrics.episodes + acfg.decay_step, next_decay
-        )
+        if not tc_mode:
+            trig1 = (metrics.episodes > next_decay) & (
+                alpha > jnp.float32(acfg.low_alpha_limit)
+            )
+            alpha = jnp.where(
+                trig1,
+                _round4(jnp.maximum(alpha * acfg.decay,
+                                    acfg.low_alpha_limit)),
+                alpha,
+            )
+            trig2 = mt_done > state.top_tile
+            alpha = jnp.where(
+                trig2,
+                _round4(jnp.maximum(alpha * acfg.decay,
+                                    acfg.low_alpha_limit)),
+                alpha,
+            )
+            next_decay = jnp.where(
+                trig1 | trig2, metrics.episodes + acfg.decay_step,
+                next_decay,
+            )
 
         # --- auto-reset finished envs ------------------------------------
         if codes_mode:
@@ -395,6 +438,8 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         )
         return TDState(
             weights=weights,
+            opt_e=opt_e,
+            opt_a=opt_a,
             alpha=alpha,
             next_decay=next_decay,
             top_tile=top_tile,
@@ -443,6 +488,12 @@ def make_train_segment(
             # the converged reference table (which lives in this
             # subspace up to its asymmetric random init).
             out = out._replace(weights=symmetrize_table(ts, out.weights))
+            if acfg.optimizer == "tc":
+                # keep the TC accumulators in the same subspace
+                out = out._replace(
+                    opt_e=symmetrize_table(ts, out.opt_e),
+                    opt_a=symmetrize_table(ts, out.opt_a),
+                )
         return out
 
     return segment

@@ -57,6 +57,14 @@ class AgentConfig:
     # half the LUT gather traffic, ~2x train throughput on TPU
     # (engine/fast.py).
     engine_mode: str = "codes"
+    # Weight-update rule:
+    # "sgd": alpha-scheduled TD(0), the reference's rule
+    #   (r_learning.py:240-241 + decay schedule);
+    # "tc": temporal coherence — per-weight adaptive learning rate
+    #   |E|/A where E sums signed and A absolute TD deltas (Jaskowski
+    #   2016, arXiv:1604.05085).  Self-annealing: use alpha=1.0 and no
+    #   decay schedule (the schedule is skipped in this mode).
+    optimizer: str = "sgd"
 
 
 @dataclass(frozen=True)

@@ -84,6 +84,67 @@ def make_evaluator(ts: TupleSet, mode: str) -> Callable:
     raise ValueError(f"unknown table op mode: {mode}")
 
 
+def make_delta_accumulator(ts: TupleSet, mode: str) -> Callable:
+    """Returns acc_fn(weights_like, idx (B,F), dw (B,), valid (B,))
+    -> (dsum, hits) full-table arrays: per-entry summed updates and
+    hit counts for this batch.  Used by table-level optimizers
+    (collision-mean SGD, temporal coherence)."""
+    mode = resolve_mode(mode)
+    if mode in ("gather", "onehot"):
+
+        def acc_gather(weights, idx, dw, valid):
+            dwv = jnp.where(valid, dw, 0.0)
+            upd = jnp.broadcast_to(dwv[:, None], idx.shape)
+            contrib = jnp.broadcast_to(
+                valid[:, None], idx.shape
+            ).astype(jnp.float32)
+            zeros = jnp.zeros_like(weights)
+            dsum = zeros.at[idx].add(upd, mode="drop")
+            hits = zeros.at[idx].add(contrib, mode="drop")
+            return dsum, hits
+
+        return acc_gather
+
+    if mode == "pallas":
+        from . import pallas_kernels as pk
+
+        classes = oh.build_table_classes(ts)
+        grads = {
+            (c.h, c.l): pk.grad_for(c.h, c.l) for c in classes.matmul
+        }
+
+        def acc_pallas(weights, idx, dw, valid):
+            b = idx.shape[0]
+            tb = _pick_tb(b)
+            dsum = jnp.zeros_like(weights)
+            hits = jnp.zeros_like(weights)
+            for c in classes.matmul:
+                hi, lo = oh._hi_lo(ts, idx, c)
+                d, h = grads[(c.h, c.l)](hi, lo, dw, valid, tb)
+                size = c.g * c.h * c.l
+                dsum = jax.lax.dynamic_update_slice(
+                    dsum, d.reshape(size), (c.start,)
+                )
+                hits = jax.lax.dynamic_update_slice(
+                    hits, h.reshape(size), (c.start,)
+                )
+            if len(classes.gather_feats):
+                gf = jnp.asarray(classes.gather_feats)
+                gidx = idx[:, gf]
+                dwv = jnp.where(valid, dw, 0.0)
+                upd = jnp.broadcast_to(dwv[:, None], gidx.shape)
+                contrib = jnp.broadcast_to(
+                    valid[:, None], gidx.shape
+                ).astype(jnp.float32)
+                dsum = dsum.at[gidx].add(upd, mode="drop")
+                hits = hits.at[gidx].add(contrib, mode="drop")
+            return dsum, hits
+
+        return acc_pallas
+
+    raise ValueError(f"unknown table op mode: {mode}")
+
+
 def make_updater(ts: TupleSet, mode: str, mean: bool) -> Callable:
     """Returns update_fn(weights, idx (B, F), dw (B,), valid (B,)).
 

@@ -73,6 +73,8 @@ def td_state_shardings(mesh: Mesh, engine_mode: str = "cells") -> TDState:
         env_sh = EnvState(boards=data, score=data, odometer=data)
     return TDState(
         weights=table,
+        opt_e=table,
+        opt_a=table,
         alpha=rep,
         next_decay=rep,
         top_tile=rep,

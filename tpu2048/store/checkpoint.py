@@ -39,15 +39,23 @@ def save_agent(
     acfg: AgentConfig,
     weights: np.ndarray,
     meta: Optional[Dict[str, Any]] = None,
+    extras: Optional[Dict[str, np.ndarray]] = None,
 ) -> None:
-    """Atomic two-part save: JSON metadata + npz weights."""
+    """Atomic two-part save: JSON metadata + npz weights.
+
+    ``extras`` carries additional optimizer tables (e.g. the temporal
+    coherence E/A accumulators) in the same npz.
+    """
     doc = {
         "name": name,
         "config": to_dict(acfg),
         "meta": meta or {},
         "format_version": 1,
     }
-    store.save(weights_key(name), {"weights": np.asarray(weights, np.float32)})
+    arrays = {"weights": np.asarray(weights, np.float32)}
+    for k, v in (extras or {}).items():
+        arrays[k] = np.asarray(v, np.float32)
+    store.save(weights_key(name), arrays)
     store.save(agent_key(name), doc)
 
 
@@ -61,7 +69,11 @@ def load_agent(
     if w is None:
         raise FileNotFoundError(f"agent '{name}' has no weights")
     acfg = agent_config_from_dict(doc.get("config", {}))
-    return acfg, w["weights"], doc.get("meta", {})
+    meta = doc.get("meta", {})
+    extras = {k: w[k] for k in w if k != "weights"}
+    if extras:
+        meta = {**meta, "extras": extras}
+    return acfg, w["weights"], meta
 
 
 def save_game(store: ArtifactStore, name: str, record: Dict[str, Any]) -> None:

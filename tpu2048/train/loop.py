@@ -85,6 +85,12 @@ class Trainer:
         if resume and meta:
             import jax.numpy as jnp
 
+            extras = meta.get("extras", {})
+            if acfg.optimizer == "tc" and "opt_e" in extras:
+                self.state = self.state._replace(
+                    opt_e=jnp.asarray(extras["opt_e"]),
+                    opt_a=jnp.asarray(extras["opt_a"]),
+                )
             self.state = self.state._replace(
                 alpha=jnp.float32(meta.get("alpha", acfg.alpha)),
                 next_decay=jnp.int32(
@@ -222,9 +228,15 @@ class Trainer:
             "train_history": [int(x) for x in self.train_history],
             "num_envs": self.tcfg.num_envs,
         }
+        extras = None
+        if self.acfg.optimizer == "tc":
+            extras = {
+                "opt_e": np.asarray(self.state.opt_e),
+                "opt_a": np.asarray(self.state.opt_a),
+            }
         ckpt.save_agent(
             self.store, self.name, self.acfg,
-            np.asarray(self.state.weights), meta,
+            np.asarray(self.state.weights), meta, extras=extras,
         )
 
     def _maybe_save_best_game(self) -> None:
