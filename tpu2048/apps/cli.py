@@ -101,6 +101,36 @@ def watch_agent(store: ArtifactStore, name: str, speed_ms: int = 200,
                 max_moves: Optional[int] = None, out=sys.stdout) -> None:
     acfg, weights, _ = ckpt.load_agent(store, name)
     ts = ntuple.get_tuple_set(acfg.n)
+    try:
+        from .. import native as native_mod
+
+        ne = (native_mod.NativeEngine(ts, np.asarray(weights),
+                                      seed=random.getrandbits(32))
+              if native_mod.available() else None)
+    except Exception:  # pragma: no cover - toolchain-less hosts
+        ne = None
+    if ne is not None:
+        # C++ fast path: ms-latency stepping even at search depth 3+
+        board = np.zeros((4, 4), np.int8)
+        board, _, _ = ne.spawn(board)
+        board, _, _ = ne.spawn(board)
+        score, odo, moves = 0, 0, 0
+        while True:
+            d, aft, delta = ne.best_move(board, depth=depth, width=width,
+                                         since_empty=since_empty)
+            if d < 0:
+                break
+            render_board(board, score, odo,
+                         f"next = {ParityGame.actions[d]}", out=out)
+            time.sleep(speed_ms / 1000)
+            score += delta
+            odo += 1
+            board, _, _ = ne.spawn(aft)
+            moves += 1
+            if max_moves is not None and moves >= max_moves:
+                return
+        render_board(board, score, odo, "GAME OVER", out=out)
+        return
     est = np_estimator(ts, np.asarray(weights))
     game = ParityGame(rng=random.Random())
     moves = 0
