@@ -59,10 +59,12 @@ def initialize(
         process_id = int(os.environ["PROCESS_ID"])
 
     explicit = coordinator_address is not None
-    on_tpu_pod = (
-        jax.default_backend() == "tpu"
-        and os.environ.get("TPU_WORKER_HOSTNAMES") is not None
-    )
+    # Pod detection must not touch the backend: jax.default_backend()
+    # would initialize XLA and make jax.distributed.initialize below
+    # unconditionally fail.  A multi-host TPU pod advertises multiple
+    # worker hostnames in the env.
+    worker_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_tpu_pod = len([h for h in worker_hosts.split(",") if h]) > 1
     if not explicit and not on_tpu_pod:
         return False
     jax.distributed.initialize(
