@@ -57,7 +57,7 @@ def bench_engine(n_envs=8192, k=256, reps=6):
     def roll(codes, key):
         def body(c, _):
             cd, k2 = c
-            aft, delta, legal = eng.afterstates_codes(cd)
+            aft, legal, _t = eng.afterstates_nc(cd)
             done = ~legal.any(axis=0)
             k2, ks, kr = jax.random.split(k2, 3)
             nc, _, _ = eng.spawn_codes(aft[0], ks)
@@ -96,7 +96,7 @@ def bench_eval(n_envs=8192, k=128, reps=4):
     def roll(codes, key):
         def body(c, _):
             cd, k2 = c
-            aft, delta, legal = eng.afterstates_codes(cd)
+            aft, legal, _t = eng.afterstates_nc(cd)
             cells4 = eng.cells_from_codes(aft)
             cells4 = jnp.stack(
                 [cells4[0], cells4[1][..., tperm],

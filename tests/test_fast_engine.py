@@ -123,3 +123,46 @@ def test_codes_mode_sharded_segment():
     seg = pmesh.make_sharded_train_segment(ts, acfg, tcfg, m)
     out = seg(st)
     assert int(np.asarray(out.metrics.episodes)) >= 0
+
+
+def test_afterstates_nc_and_chosen_delta_match_full():
+    boards = _rand_boards(256, seed=3)
+    codes = engf.codes_from_boards(boards)
+    aft_full, delta_full, legal_full = engf.afterstates_codes(codes)
+    aft, legal, tcodes = engf.afterstates_nc(codes)
+    np.testing.assert_array_equal(np.asarray(aft), np.asarray(aft_full))
+    np.testing.assert_array_equal(np.asarray(legal), np.asarray(legal_full))
+    np.testing.assert_array_equal(
+        np.asarray(tcodes), np.asarray(engf.transpose_codes(codes))
+    )
+    # chosen_delta must equal the full delta of whatever direction is
+    # picked, for every possible direction choice
+    n = codes.shape[0]
+    for d in range(4):
+        best_dir = jnp.full((n,), d, jnp.int32)
+        got = np.asarray(engf.chosen_delta(codes, tcodes, best_dir))
+        np.testing.assert_array_equal(got, np.asarray(delta_full[d]))
+
+
+def test_new_boards_and_new_codes_bitwise_identical():
+    key = jax.random.PRNGKey(7)
+    boards = engine.new_boards(512, key)
+    codes = engf.new_codes(512, key)
+    np.testing.assert_array_equal(
+        np.asarray(boards), np.asarray(engf.boards_from_codes(codes))
+    )
+
+
+def test_new_boards_law():
+    """Two tiles per fresh board; values 1/2 at ~0.9/0.1; positions
+    uniform (same law as two sequential spawns on an empty board)."""
+    boards = np.asarray(engine.new_boards(4096, jax.random.PRNGKey(11)))
+    flat = boards.reshape(-1, 16)
+    counts = (flat != 0).sum(axis=1)
+    assert (counts == 2).all()
+    vals = flat[flat != 0]
+    frac4 = (vals == 2).mean()
+    assert 0.07 < frac4 < 0.13, frac4
+    # positions cover all 16 cells roughly uniformly
+    occ = (flat != 0).mean(axis=0)
+    assert (np.abs(occ - 0.125) < 0.02).all(), occ

@@ -249,7 +249,7 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             # transposed orientation; permuting their cells restores
             # canonical feature indices without transposing boards.
             codes = state.env.codes
-            aftc, delta4, legal = engf.afterstates_codes(codes)
+            aftc, legal, tcodes = engf.afterstates_nc(codes)
             cells4 = engf.cells_from_codes(aftc)  # (4, N, 16)
             perm = jnp.asarray(_tperm)
             cells4 = jnp.stack(
@@ -260,7 +260,8 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             masked = jnp.where(legal, vals, -jnp.inf)
             best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
             best_val = masked[best_dir, ar]
-            best_delta = delta4[best_dir, ar]
+            # score only the CHOSEN move (4 gathers, not 16)
+            best_delta = engf.chosen_delta(codes, tcodes, best_dir)
             done = ~legal.any(axis=0)
             chosen_cells = cells4[best_dir, ar]  # canonical (N, 16)
             chosen_codes = engf.canonicalize_chosen(

@@ -140,12 +140,25 @@ def spawn(
 
 
 def new_boards(n: int, key: jax.Array) -> jax.Array:
-    """Fresh starting boards: two random tiles each (``game_logic.py:61-66``)."""
-    b = jnp.zeros((n, 4, 4), dtype=jnp.int8)
-    k1, k2 = jax.random.split(key)
-    b, _, _ = spawn(b, k1)
-    b, _, _ = spawn(b, k2)
-    return b
+    """Fresh starting boards: two random tiles each (``game_logic.py:61-66``).
+
+    Direct placement with the same law (and the same RNG draws) as
+    ``fast.new_codes``, so codes-mode and cells-mode rollouts stay
+    bitwise-identical; equals two sequential ``spawn`` calls on an
+    empty board in distribution, without their cumsum/argmax chains.
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p1 = jax.random.randint(k1, (n,), 0, 16)
+    v1 = jnp.where(jax.random.uniform(k2, (n,)) < 0.9, 1, 2)
+    p2r = jax.random.randint(k3, (n,), 0, 15)
+    p2 = p2r + (p2r >= p1)
+    v2 = jnp.where(jax.random.uniform(k4, (n,)) < 0.9, 1, 2)
+    cells = jnp.arange(16)[None, :]
+    flat = (
+        jnp.where(cells == p1[:, None], v1[:, None], 0)
+        + jnp.where(cells == p2[:, None], v2[:, None], 0)
+    ).astype(jnp.int8)
+    return flat.reshape(n, 4, 4)
 
 
 def reset_where(

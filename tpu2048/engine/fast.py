@@ -41,6 +41,7 @@ class CodeTables(NamedTuple):
     left_sc: np.ndarray  # (65536,) int32: score
     right_nc: np.ndarray
     right_sc: np.ndarray
+    dir_sc: np.ndarray  # (131072,) int32: [left_sc; right_sc] concatenated
 
 
 @lru_cache(maxsize=None)
@@ -58,7 +59,10 @@ def build_code_tables() -> CodeTables:
     right_nc = (r_codes | (t.changed[rev].astype(np.int64) << 16)
                 ).astype(np.int32)
     right_sc = t.score[rev].astype(np.int32)
-    return CodeTables(left_nc, left_sc, right_nc, right_sc)
+    # one table addressable as dir_sc[family << 16 | code] so the score
+    # of the one CHOSEN direction costs 4 gathers instead of 16
+    dir_sc = np.concatenate([left_sc, right_sc])
+    return CodeTables(left_nc, left_sc, right_nc, right_sc, dir_sc)
 
 
 _CT = build_code_tables()
@@ -149,6 +153,54 @@ def afterstates_codes(
     return aft, delta, legal
 
 
+def afterstates_nc(
+    codes: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """All 4 afterstates WITHOUT score resolution: 16 gathers total,
+    the floor for 4-direction LUT resolution.
+
+    Greedy selection never consumes the scores of unchosen moves, so
+    the train/serve hot paths pair this with ``chosen_delta`` (4 more
+    gathers for the one move that is taken) instead of paying the
+    16 score gathers of ``afterstates_codes``.
+
+    Returns (aft (4, N, 4), legal (4, N), tcodes (N, 4)); directions
+    1/3 are in TRANSPOSED orientation, as in ``afterstates_codes``.
+    """
+    lnc = jnp.asarray(_CT.left_nc)
+    rnc = jnp.asarray(_CT.right_nc)
+    tcodes = transpose_codes(codes)
+
+    def resolve(nc, c):
+        packed = nc[c]  # (N, 4)
+        new = packed & 0xFFFF
+        changed = (packed >> 16).astype(bool).any(axis=-1)
+        return new, changed
+
+    l_new, l_ch = resolve(lnc, codes)
+    r_new, r_ch = resolve(rnc, codes)
+    u_new, u_ch = resolve(lnc, tcodes)
+    d_new, d_ch = resolve(rnc, tcodes)
+    aft = jnp.stack([l_new, u_new, r_new, d_new])
+    legal = jnp.stack([l_ch, u_ch, r_ch, d_ch])
+    return aft, legal, tcodes
+
+
+def chosen_delta(
+    codes: jax.Array, tcodes: jax.Array, best_dir: jax.Array
+) -> jax.Array:
+    """Score delta of ONLY the chosen direction (4 gathers).
+
+    Directions 0/2 score the original codes through the left/right
+    tables; 1/3 score the transposed codes.  The left/right family
+    selects the half of the combined ``dir_sc`` table.
+    """
+    dsc = jnp.asarray(_CT.dir_sc)
+    cot = jnp.where((best_dir % 2 == 1)[:, None], tcodes, codes)
+    fam = (best_dir >= 2).astype(jnp.int32)[:, None] << 16
+    return dsc[cot | fam].sum(axis=-1)
+
+
 def canonicalize_chosen(aft_codes: jax.Array, best_dir: jax.Array
                         ) -> jax.Array:
     """Transpose the chosen afterstate back when it came from up/down."""
@@ -188,11 +240,26 @@ def spawn_codes(
 
 
 def new_codes(n: int, key: jax.Array) -> jax.Array:
-    c = jnp.zeros((n, 4), jnp.int32)
-    k1, k2 = jax.random.split(key)
-    c, _, _ = spawn_codes(c, k1)
-    c, _, _ = spawn_codes(c, k2)
-    return c
+    """Fresh starting boards: two random tiles each.
+
+    Same law as two sequential ``spawn_codes`` on an empty board
+    (first tile uniform over 16 cells, second uniform over the 15
+    remaining, values 2/4 at 0.9/0.1) but placed DIRECTLY: no empty
+    masks, cumsums, or argmax chains.  ``reset_where_codes`` runs this
+    on the full batch every step, so it is hot.
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p1 = jax.random.randint(k1, (n,), 0, 16)
+    v1 = jnp.where(jax.random.uniform(k2, (n,)) < 0.9, 1, 2)
+    p2r = jax.random.randint(k3, (n,), 0, 15)
+    p2 = p2r + (p2r >= p1)
+    v2 = jnp.where(jax.random.uniform(k4, (n,)) < 0.9, 1, 2)
+    rows = jnp.arange(4)[None, :]
+    add1 = jnp.where(rows == (p1 // 4)[:, None],
+                     (v1 << ((3 - p1 % 4) * 4))[:, None], 0)
+    add2 = jnp.where(rows == (p2 // 4)[:, None],
+                     (v2 << ((3 - p2 % 4) * 4))[:, None], 0)
+    return (add1 + add2).astype(jnp.int32)
 
 
 def reset_where_codes(
