@@ -53,15 +53,20 @@ def _split_bf16(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 # --------------------------------------------------------------------------
 
 
-def _eval_kernel_2pass(g, h, l, hi_ref, lo_ref, t1_ref, t2_ref, out_ref):
+def _eval_kernel_2pass(g, h, l, hi_ref, lo_ref, t12_ref, out_ref):
+    # t12 stacks [head; residual] along H, and the duplicated one-hot
+    # ((col & (h-1)) == hi fires at both col=hi and col=hi+h) folds the
+    # two bf16 passes into ONE (TB, 2H) @ (2H, L) MXU issue per tuple
+    # with f32 accumulation — exactly head+residual, ~2^-18 rel error.
     tb = hi_ref.shape[0]
     acc = jnp.zeros((tb, l), jnp.float32)
-    col_h = jax.lax.broadcasted_iota(jnp.int32, (tb, h), 1)
+    col_h2 = jax.lax.broadcasted_iota(jnp.int32, (tb, 2 * h), 1)
     col_l = jax.lax.broadcasted_iota(jnp.int32, (tb, l), 1)
     for gi in range(g):
-        oh_hi = (col_h == hi_ref[:, gi][:, None]).astype(jnp.bfloat16)
-        m = jnp.dot(oh_hi, t1_ref[gi], preferred_element_type=jnp.float32)
-        m += jnp.dot(oh_hi, t2_ref[gi], preferred_element_type=jnp.float32)
+        oh2 = ((col_h2 & (h - 1)) == hi_ref[:, gi][:, None]).astype(
+            jnp.bfloat16
+        )
+        m = jnp.dot(oh2, t12_ref[gi], preferred_element_type=jnp.float32)
         oh_lo = (col_l == lo_ref[:, gi][:, None]).astype(jnp.float32)
         acc += m * oh_lo
     out_ref[:] = jnp.sum(acc, axis=1, keepdims=True)
@@ -93,22 +98,27 @@ def eval_class(
     g, h, l = tables.shape
     b = hi.shape[0]
     assert b % tb == 0, f"batch {b} must be a multiple of tile {tb}"
+    assert h & (h - 1) == 0, f"H must be a power of two, got {h}"
     idx_spec = pl.BlockSpec((tb, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(
         (g, h, l), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    tab2_spec = pl.BlockSpec(
+        (g, 2 * h, l), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, 1), jnp.float32)
     if precision == "bf16x2":
         t1, t2 = _split_bf16(tables)
+        t12 = jnp.concatenate([t1, t2], axis=1)  # (G, 2H, L)
         out = pl.pallas_call(
             functools.partial(_eval_kernel_2pass, g, h, l),
             grid=(b // tb,),
-            in_specs=[idx_spec, idx_spec, tab_spec, tab_spec],
+            in_specs=[idx_spec, idx_spec, tab2_spec],
             out_specs=out_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(hi, lo, t1, t2)
+        )(hi, lo, t12)
     else:
         out = pl.pallas_call(
             functools.partial(_eval_kernel_f32, g, h, l),
@@ -144,15 +154,16 @@ def _grad_kernel(g, h, l, hi_ref, lo_ref, d1_ref, d2_ref, cv_ref,
     for gi in range(g):
         oh_hi = (col_h == hi_ref[:, gi][:, None]).astype(jnp.bfloat16)
         oh_lo = (col_l == lo_ref[:, gi][:, None]).astype(jnp.bfloat16)
-        dsum_ref[gi] += jax.lax.dot_general(
-            oh_hi, oh_lo * d1, dn, preferred_element_type=jnp.float32
+        # one (TB, H)^T @ (TB, 3L) MXU issue per tuple: the rhs stacks
+        # the two bf16 dw components and the valid counts side by side;
+        # splitting the f32 result recovers dsum (head+residual) and
+        # hits exactly as the former three separate dots did.
+        rhs = jnp.concatenate([oh_lo * d1, oh_lo * d2, oh_lo * cv], axis=1)
+        out = jax.lax.dot_general(
+            oh_hi, rhs, dn, preferred_element_type=jnp.float32
         )
-        dsum_ref[gi] += jax.lax.dot_general(
-            oh_hi, oh_lo * d2, dn, preferred_element_type=jnp.float32
-        )
-        hits_ref[gi] += jax.lax.dot_general(
-            oh_hi, oh_lo * cv, dn, preferred_element_type=jnp.float32
-        )
+        dsum_ref[gi] += out[:, :l] + out[:, l:2 * l]
+        hits_ref[gi] += out[:, 2 * l:]
 
 
 def grad_for(h: int, l: int):

@@ -114,7 +114,7 @@ class LocalStore(_SerializingStore):
 
     def _path(self, key: str) -> str:
         p = os.path.normpath(os.path.join(self.root, key))
-        if not p.startswith(self.root):
+        if not p.startswith(self.root + os.sep):
             raise ValueError(f"key escapes store root: {key}")
         return p
 
