@@ -133,3 +133,40 @@ def test_estimator_wrapper_shapes():
     v = est(boards, jax.random.PRNGKey(2))
     assert v.shape == (12,)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_expectimax_chunked_matches_full():
+    """Root-batch chunking (memory bound) is pure plumbing: on boards
+    pruned by since_empty the value is the raw estimate and must match
+    the unchunked path EXACTLY; on searched boards it stays finite and
+    in the estimator's range."""
+    import jax
+
+    from tpu2048.features import ntuple
+    from tpu2048.search.expectimax import make_expectimax_estimator
+
+    ts = ntuple.get_tuple_set(2)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(0)) + 1.0
+
+    def value_fn(b):
+        return ntuple.evaluate(ts, w, b.reshape(b.shape[:-2] + (16,)))
+
+    # fresh boards have ~14 empties >= since_empty -> pruned to base
+    boards = engine.new_boards(32, jax.random.PRNGKey(5))
+    key = jax.random.PRNGKey(3)
+    full = make_expectimax_estimator(value_fn, 2, 3, 6)
+    chunked = make_expectimax_estimator(value_fn, 2, 3, 6, max_leaves=100)
+    vf = np.asarray(full(boards, key))
+    vc = np.asarray(chunked(boards, key))
+    assert vf.shape == vc.shape == (32,)
+    np.testing.assert_allclose(vc, vf, rtol=1e-6)
+
+    # crowded boards actually search through the chunked tree
+    rng = np.random.default_rng(0)
+    crowd = rng.integers(1, 8, size=(32, 4, 4)).astype(np.int8)
+    crowd[:, 0, 0] = 0
+    crowd[:, 3, 3] = 0
+    vc2 = np.asarray(
+        chunked(jnp.asarray(crowd), key)
+    )
+    assert np.isfinite(vc2).all() and (vc2 >= 0).all()

@@ -96,16 +96,37 @@ def expectimax_value(
 
 
 def make_expectimax_estimator(
-    value_fn: ValueFn, depth: int, width: int, since_empty: int
+    value_fn: ValueFn, depth: int, width: int, since_empty: int,
+    max_leaves: int = 2_000_000,
 ):
     """Wrap a value function into a deeper expectimax estimator with
-    the same (boards, key) -> values signature used by the eval driver."""
+    the same (boards, key) -> values signature used by the eval driver.
+
+    The tree for B root boards materializes B * (4 * width)^depth leaf
+    boards at once; to bound peak device memory the root batch is
+    chunked with ``lax.map`` so no invocation exceeds ~``max_leaves``
+    leaves (each chunk still runs the whole unrolled tree on device).
+    """
+
+    def tree(boards: jax.Array, key: jax.Array) -> jax.Array:
+        return expectimax_value(
+            value_fn, boards, key, depth, width, since_empty
+        )
 
     def estimator(boards: jax.Array, key: jax.Array) -> jax.Array:
         if depth == 0:
             return value_fn(boards)
-        return expectimax_value(
-            value_fn, boards, key, depth, width, since_empty
-        )
+        b = boards.shape[0]
+        leaves_per_root = (4 * width) ** depth
+        chunks = 1
+        while (b % (chunks * 2) == 0
+               and b // chunks * leaves_per_root > max_leaves):
+            chunks *= 2
+        if chunks == 1:
+            return tree(boards, key)
+        chunked = boards.reshape(chunks, b // chunks, 4, 4)
+        keys = jax.random.split(key, chunks)
+        vals = jax.lax.map(lambda a: tree(a[0], a[1]), (chunked, keys))
+        return vals.reshape(b)
 
     return estimator
