@@ -57,10 +57,11 @@ def bench_engine(n_envs=8192, k=256, reps=6):
     def roll(codes, key):
         def body(c, _):
             cd, k2 = c
-            aft, legal, _t = eng.afterstates_nc(cd)
+            aft, delta, legal, _t = eng.afterstates_full(cd)
             done = ~legal.any(axis=0)
             k2, ks, kr = jax.random.split(k2, 3)
             nc, _, _ = eng.spawn_codes(aft[0], ks)
+            nc = nc + (delta[0][:, None] * 0)  # keep scores live
             nc = jnp.where(done[:, None], eng.new_codes(n_envs, kr), nc)
             return (nc, k2), None
         (codes, key), _ = jax.lax.scan(body, (codes, key), None, length=k)
@@ -96,7 +97,7 @@ def bench_eval(n_envs=8192, k=128, reps=4):
     def roll(codes, key):
         def body(c, _):
             cd, k2 = c
-            aft, legal, _t = eng.afterstates_nc(cd)
+            aft, delta, legal, _t = eng.afterstates_full(cd)
             cells4 = eng.cells_from_codes(aft)
             cells4 = jnp.stack(
                 [cells4[0], cells4[1][..., tperm],

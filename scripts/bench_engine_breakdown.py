@@ -91,7 +91,24 @@ def main():
         nc = jnp.where(done[:, None], eng.new_codes(N, kr), nc)
         return nc, k2
 
+    def gathers_quad(cd, k2):
+        aft, delta, legal = eng.afterstates_codes(cd)  # fused quad table
+        nc = jnp.where(legal.any(axis=0)[:, None], aft[0], cd)
+        nc = nc + (delta[0][:, None] * 0).astype(nc.dtype)  # keep live
+        return nc, jax.random.fold_in(k2, 0)
+
+    def full_quad(cd, k2):
+        aft, delta, legal = eng.afterstates_codes(cd)
+        done = ~legal.any(axis=0)
+        k2, ks, kr = jax.random.split(k2, 3)
+        nc, _, _ = eng.spawn_codes(aft[0], ks)
+        nc = nc + (delta[0][:, None] * 0).astype(nc.dtype)
+        nc = jnp.where(done[:, None], eng.new_codes(N, kr), nc)
+        return nc, k2
+
     timed("gathers only", scan(gathers_only))
+    timed("gathers quad (+scores)", scan(gathers_quad))
+    timed("full quad (+scores)", scan(full_quad))
     timed("spawn only", scan(spawn_only))
     timed("gathers + spawn", scan(gathers_spawn))
     timed("full step", scan(full))

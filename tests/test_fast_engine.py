@@ -166,3 +166,16 @@ def test_new_boards_law():
     # positions cover all 16 cells roughly uniformly
     occ = (flat != 0).mean(axis=0)
     assert (np.abs(occ - 0.125) < 0.02).all(), occ
+
+
+def test_afterstates_full_matches_components():
+    boards = _rand_boards(256, seed=9)
+    codes = engf.codes_from_boards(boards)
+    aft_ref, delta_ref, legal_ref = engf.afterstates_codes(codes)
+    aft, delta, legal, tcodes = engf.afterstates_full(codes)
+    np.testing.assert_array_equal(np.asarray(aft), np.asarray(aft_ref))
+    np.testing.assert_array_equal(np.asarray(delta), np.asarray(delta_ref))
+    np.testing.assert_array_equal(np.asarray(legal), np.asarray(legal_ref))
+    np.testing.assert_array_equal(
+        np.asarray(tcodes), np.asarray(engf.transpose_codes(codes))
+    )

@@ -249,7 +249,9 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             # transposed orientation; permuting their cells restores
             # canonical feature indices without transposing boards.
             codes = state.env.codes
-            aftc, legal, tcodes = engf.afterstates_nc(codes)
+            # fused quad-table expansion: 8 sliced gathers resolve all
+            # 4 afterstates, legality, AND scores
+            aftc, delta4, legal, tcodes = engf.afterstates_full(codes)
             cells4 = engf.cells_from_codes(aftc)  # (4, N, 16)
             perm = jnp.asarray(_tperm)
             cells4 = jnp.stack(
@@ -260,8 +262,7 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             masked = jnp.where(legal, vals, -jnp.inf)
             best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
             best_val = masked[best_dir, ar]
-            # score only the CHOSEN move (4 gathers, not 16)
-            best_delta = engf.chosen_delta(codes, tcodes, best_dir)
+            best_delta = delta4[best_dir, ar]
             done = ~legal.any(axis=0)
             chosen_cells = cells4[best_dir, ar]  # canonical (N, 16)
             chosen_codes = engf.canonicalize_chosen(

@@ -42,6 +42,7 @@ class CodeTables(NamedTuple):
     right_nc: np.ndarray
     right_sc: np.ndarray
     dir_sc: np.ndarray  # (131072,) int32: [left_sc; right_sc] concatenated
+    quad: np.ndarray  # (65536, 4) int32: [l_nc, r_nc, l_sc, r_sc] rows
 
 
 @lru_cache(maxsize=None)
@@ -62,7 +63,13 @@ def build_code_tables() -> CodeTables:
     # one table addressable as dir_sc[family << 16 | code] so the score
     # of the one CHOSEN direction costs 4 gathers instead of 16
     dir_sc = np.concatenate([left_sc, right_sc])
-    return CodeTables(left_nc, left_sc, right_nc, right_sc, dir_sc)
+    # row-fused layout: one 16-byte slice per row code resolves BOTH
+    # directions and both scores — the whole 4-direction expansion of a
+    # board costs 8 sliced gathers (4 rows x 2 orientations) instead of
+    # 16-32 scalar gathers; gathers are latency-bound on TPU, so fewer
+    # wider fetches win
+    quad = np.stack([left_nc, right_nc, left_sc, right_sc], axis=1)
+    return CodeTables(left_nc, left_sc, right_nc, right_sc, dir_sc, quad)
 
 
 _CT = build_code_tables()
@@ -129,24 +136,26 @@ def afterstates_codes(
         legal  (4, N) bool
     Direction encoding matches the reference: 0 left, 1 up, 2 right,
     3 down (up/down = left/right on the transposed board).
+
+    Implementation: one 16-byte sliced gather per row from the fused
+    quad table resolves both direction families and both scores — 8
+    gathers per board for the full 4-direction expansion.
     """
-    lnc = jnp.asarray(_CT.left_nc)
-    lsc = jnp.asarray(_CT.left_sc)
-    rnc = jnp.asarray(_CT.right_nc)
-    rsc = jnp.asarray(_CT.right_sc)
+    quad = jnp.asarray(_CT.quad)
     tcodes = transpose_codes(codes)
 
-    def resolve(nc, sc, c):
-        packed = nc[c]  # (N, 4)
-        new = packed & 0xFFFF
-        changed = (packed >> 16).astype(bool).any(axis=-1)
-        delta = sc[c].sum(axis=-1)
-        return new, delta, changed
+    def resolve(c):
+        q = quad[c]  # (N, 4, 4): [l_nc, r_nc, l_sc, r_sc] per row
+        l_new = q[..., 0] & 0xFFFF
+        r_new = q[..., 1] & 0xFFFF
+        l_ch = (q[..., 0] >> 16).astype(bool).any(axis=-1)
+        r_ch = (q[..., 1] >> 16).astype(bool).any(axis=-1)
+        l_d = q[..., 2].sum(axis=-1)
+        r_d = q[..., 3].sum(axis=-1)
+        return l_new, r_new, l_ch, r_ch, l_d, r_d
 
-    l_new, l_d, l_ch = resolve(lnc, lsc, codes)
-    r_new, r_d, r_ch = resolve(rnc, rsc, codes)
-    u_new, u_d, u_ch = resolve(lnc, lsc, tcodes)
-    d_new, d_d, d_ch = resolve(rnc, rsc, tcodes)
+    l_new, r_new, l_ch, r_ch, l_d, r_d = resolve(codes)
+    u_new, d_new, u_ch, d_ch, u_d, d_d = resolve(tcodes)
     aft = jnp.stack([l_new, u_new, r_new, d_new])
     delta = jnp.stack([l_d, u_d, r_d, d_d])
     legal = jnp.stack([l_ch, u_ch, r_ch, d_ch])
@@ -184,6 +193,30 @@ def afterstates_nc(
     aft = jnp.stack([l_new, u_new, r_new, d_new])
     legal = jnp.stack([l_ch, u_ch, r_ch, d_ch])
     return aft, legal, tcodes
+
+
+def afterstates_full(
+    codes: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """``afterstates_codes`` + the transposed codes (saves recomputing
+    them for ``canonicalize``-style consumers): (aft, delta, legal,
+    tcodes).  This is the production hot path — 8 sliced gathers."""
+    quad = jnp.asarray(_CT.quad)
+    tcodes = transpose_codes(codes)
+
+    def resolve(c):
+        q = quad[c]  # (N, 4, 4)
+        return (q[..., 0] & 0xFFFF, q[..., 1] & 0xFFFF,
+                (q[..., 0] >> 16).astype(bool).any(axis=-1),
+                (q[..., 1] >> 16).astype(bool).any(axis=-1),
+                q[..., 2].sum(axis=-1), q[..., 3].sum(axis=-1))
+
+    l_new, r_new, l_ch, r_ch, l_d, r_d = resolve(codes)
+    u_new, d_new, u_ch, d_ch, u_d, d_d = resolve(tcodes)
+    aft = jnp.stack([l_new, u_new, r_new, d_new])
+    delta = jnp.stack([l_d, u_d, r_d, d_d])
+    legal = jnp.stack([l_ch, u_ch, r_ch, d_ch])
+    return aft, delta, legal, tcodes
 
 
 def chosen_delta(

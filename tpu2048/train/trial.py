@@ -50,6 +50,13 @@ def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
                        k: int, limit_tile: int, table_ops: str = "auto"):
     from ..ops import dispatch as table_dispatch
 
+    if table_ops == "auto" and scfg.depth > 0:
+        # Search evaluates (4*width)^depth leaf boards per root move —
+        # millions of rows.  The one-hot MXU path costs ~2*H*L FLOPs
+        # per lookup (a win at policy-serve batch sizes where gathers
+        # are latency-bound) but at search batches it is petaFLOPs per
+        # move; the bandwidth-bound gather path is the right tool.
+        table_ops = "gather"
     eval_fn = table_dispatch.make_evaluator(ts, table_ops)
 
     def value_fn(b):
