@@ -137,3 +137,22 @@ def test_trial_limit_tile_stops_early():
                 steps_per_call=32, logger=Logger(console=False))
     # every game stopped at (or just past) the 32-tile, or died first
     assert (res.tiles >= 5).any()
+
+
+def test_random_and_score_baseline_policies():
+    """The reference's baseline estimators (game_logic.py:5-10) and its
+    random-walk survivability probe (README.md:51-56): ~99% of random
+    games survive 50 moves, ~60% survive 100; the score-greedy policy
+    clearly beats random."""
+    from tpu2048.features import ntuple
+    from tpu2048.train.trial import trial
+
+    ts = ntuple.get_tuple_set(2)
+    rnd = trial(ts, None, num=256, seed=0, policy="random")
+    surv50 = float((rnd.odometers >= 50).mean())
+    surv100 = float((rnd.odometers >= 100).mean())
+    assert surv50 > 0.93, surv50
+    assert 0.40 < surv100 < 0.80, surv100
+    sc = trial(ts, None, num=128, seed=1, policy="score")
+    assert sc.scores.mean() > rnd.scores.mean() * 1.3, (
+        sc.scores.mean(), rnd.scores.mean())

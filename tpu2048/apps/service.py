@@ -207,8 +207,13 @@ class AppService:
         session_log = log_key()
         logger = Logger(store=self.store, key=session_log, console=False)
         self.registry.acquire("log", session_log, parent)
-        acfg, weights, _ = ckpt.load_agent(self.store, name)
-        ts = ntuple.get_tuple_set(acfg.n)
+        if name in ("random", "score"):
+            # the reference's baseline estimators (game_logic.py:5-10)
+            policy, ts, weights = name, ntuple.get_tuple_set(2), None
+        else:
+            policy = "value"
+            acfg, weights, _ = ckpt.load_agent(self.store, name)
+            ts = ntuple.get_tuple_set(acfg.n)
 
         def body(job: Job):
             import jax.numpy as jnp
@@ -219,7 +224,8 @@ class AppService:
             logger.add(f"Looking forward: depth={depth}, width={width}, "
                        f"since_empty={since_empty}")
             res = trial(
-                ts, jnp.asarray(weights), num=num,
+                ts, None if weights is None else jnp.asarray(weights),
+                num=num, policy=policy,
                 search=SearchConfig(depth=depth, width=width,
                                     since_empty=since_empty),
                 logger=logger, stop_cb=job.should_stop,

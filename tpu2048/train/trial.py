@@ -47,7 +47,8 @@ class _EvalState(NamedTuple):
 
 
 def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
-                       k: int, limit_tile: int, table_ops: str = "auto"):
+                       k: int, limit_tile: int, table_ops: str = "auto",
+                       policy: str = "value"):
     from ..ops import dispatch as table_dispatch
 
     if table_ops == "auto" and scfg.depth > 0:
@@ -57,18 +58,29 @@ def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
         # are latency-bound) but at search batches it is petaFLOPs per
         # move; the bandwidth-bound gather path is the right tool.
         table_ops = "gather"
-    eval_fn = table_dispatch.make_evaluator(ts, table_ops)
+    if policy == "value":
+        eval_fn = table_dispatch.make_evaluator(ts, table_ops)
 
-    def value_fn(b):
-        return eval_fn(weights, b.reshape(b.shape[:-2] + (16,)))
-    estimator = make_expectimax_estimator(
-        value_fn, scfg.depth, scfg.width, scfg.since_empty
-    )
+        def value_fn(b):
+            return eval_fn(weights, b.reshape(b.shape[:-2] + (16,)))
+        estimator = make_expectimax_estimator(
+            value_fn, scfg.depth, scfg.width, scfg.since_empty
+        )
+    elif policy not in ("random", "score"):
+        raise ValueError(f"unknown policy: {policy}")
 
     def step(st: _EvalState) -> _EvalState:
         key, k_est, k_spawn = jax.random.split(st.key, 3)
         aft, delta, legal = engine.afterstates(st.boards)
-        vals = estimator(aft.reshape(4 * n, 4, 4), k_est).reshape(4, n)
+        if policy == "random":
+            # the reference's random_eval baseline (game_logic.py:5-6):
+            # a uniform value per candidate move
+            vals = jax.random.uniform(k_est, (4, n))
+        elif policy == "score":
+            # score_eval (game_logic.py:9-10): greedy on immediate reward
+            vals = delta.astype(jnp.float32)
+        else:
+            vals = estimator(aft.reshape(4 * n, 4, 4), k_est).reshape(4, n)
         masked = jnp.where(legal, vals, -jnp.inf)
         best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
         ar = jnp.arange(n)
@@ -106,7 +118,7 @@ def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
 
 def trial(
     ts: ntuple.TupleSet,
-    weights: jax.Array,
+    weights: Optional[jax.Array],
     num: int = 20,
     seed: int = 0,
     search: Optional[SearchConfig] = None,
@@ -117,8 +129,15 @@ def trial(
     game_init: Optional[np.ndarray] = None,
     progress_cb=None,
     stop_cb=None,
+    policy: str = "value",
 ) -> TrialResult:
-    """Play ``num`` games to completion; aggregate statistics."""
+    """Play ``num`` games to completion; aggregate statistics.
+
+    ``policy`` selects the estimator: "value" (the trained n-tuple
+    table, optionally deepened by expectimax), or the reference's
+    baselines "random" / "score" (``game_logic.py:5-10``) — weights
+    may be None for those.
+    """
     scfg = search or SearchConfig(depth=0)
     log = logger or Logger(console=False)
     key = jax.random.PRNGKey(seed)
@@ -141,7 +160,8 @@ def trial(
     starts = np.asarray(st.boards, np.int8)
     seg = jax.jit(
         _make_eval_segment(
-            ts, weights, scfg, num, step_cap, steps_per_call, limit_tile
+            ts, weights, scfg, num, step_cap, steps_per_call, limit_tile,
+            policy=policy,
         ),
         donate_argnums=0,
     )
