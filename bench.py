@@ -26,13 +26,18 @@ def _sync(x):
     return np.asarray(x).ravel()[:1]
 
 
-def bench_train(n_envs=8192, k=128, reps=4):
+def bench_train(n_envs=8192, k=128, reps=4, acfg=None):
     from tpu2048.agent import td
     from tpu2048.config import AgentConfig, TrainConfig
     from tpu2048.features import ntuple
 
-    ts = ntuple.get_tuple_set(4)
-    acfg = AgentConfig(n=4)
+    if acfg is None:
+        # pinned to the round-1 measured configuration (sgd + periodic
+        # symmetry, n=4) so the headline stays comparable across rounds;
+        # the shipped champion defaults are measured separately below
+        acfg = AgentConfig(n=4, optimizer="sgd", sym_mode="periodic",
+                           alpha=0.25)
+    ts = ntuple.get_tuple_set(acfg.n)
     tcfg = TrainConfig(
         num_envs=n_envs, steps_per_call=k, ring_size=8192,
         record_envs=32, max_record_steps=16384, seed=0,
@@ -61,7 +66,9 @@ def bench_engine(n_envs=8192, k=256, reps=6):
             done = ~legal.any(axis=0)
             k2, ks, kr = jax.random.split(k2, 3)
             nc, _, _ = eng.spawn_codes(aft[0], ks)
-            nc = nc + (delta[0][:, None] * 0)  # keep scores live
+            # anchor ALL four score lanes so XLA can't dead-code any of
+            # the fused quad gather's score output
+            nc = nc + (delta.sum(axis=0, keepdims=True).T * 0)
             nc = jnp.where(done[:, None], eng.new_codes(n_envs, kr), nc)
             return (nc, k2), None
         (codes, key), _ = jax.lax.scan(body, (codes, key), None, length=k)
@@ -132,7 +139,10 @@ def bench_eval(n_envs=8192, k=128, reps=4):
 def main():
     # warm up the device/tunnel before timing anything
     _sync(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
+    from tpu2048.config import AgentConfig
+
     train_sps = bench_train()
+    champion_sps = bench_train(acfg=AgentConfig())  # shipped defaults
     engine_sps = bench_engine()
     eval_sps = bench_eval()
     print(
@@ -142,6 +152,7 @@ def main():
                 "value": round(train_sps, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(train_sps / REF_TRAIN_STEPS_PER_SEC, 2),
+                "train_champion_defaults_sps": round(champion_sps, 1),
                 "engine_env_steps_per_sec": round(engine_sps, 1),
                 "engine_vs_north_star_10M": round(
                     engine_sps / ENGINE_NORTH_STAR, 3

@@ -71,8 +71,8 @@ def test_modes_and_params(server):
     ]
     params = _get(server, "/api/params")
     names = [p["name"] for p in params]
-    assert names == ["name", "n", "alpha", "decay", "decay_step",
-                     "low_alpha_limit", "episodes"]
+    assert names == ["name", "n", "optimizer", "alpha", "decay",
+                     "decay_step", "low_alpha_limit", "episodes"]
 
 
 def test_play_flow(server):

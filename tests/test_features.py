@@ -135,3 +135,29 @@ def test_evaluate_matches_manual_sum(rng):
     idx = np.asarray(ntuple.feature_indices(ts, jnp.asarray(board)))
     v = ntuple.evaluate(ts, w, jnp.asarray(board))
     assert np.allclose(np.asarray(v)[0], np.asarray(w)[idx[0]].sum(), rtol=1e-6)
+
+
+def test_f6_indices_exact_and_not_bf16_safe(rng):
+    """TPU default matmul precision rounds operands toward bfloat16;
+    the base-14 coefficients of the 6-tuples (14^3=2744, 14^5=537824)
+    are NOT bf16-representable, so ``feature_indices`` must pin
+    ``Precision.HIGHEST``.  (a) demonstrate the hazard is real;
+    (b) pin the shipped path against exact integer arithmetic over the
+    full exponent range (up to the 2^17 max tile)."""
+    import jax.numpy as jnp
+
+    ts = ntuple.get_tuple_set(6)
+    # (a) some coefficients lose bits under bf16 rounding
+    rounded = np.asarray(jnp.asarray(ts.matrix, jnp.bfloat16),
+                         np.float32)
+    assert (rounded != ts.matrix).any(), "hazard vanished? check bases"
+    # (b) shipped path == integer arithmetic, exponents 0..17
+    boards = rng.integers(0, 18, size=(128, 16)).astype(np.int8)
+    got = np.asarray(ntuple.feature_indices(ts, jnp.asarray(boards)))
+    x = boards.astype(np.int64)
+    v = np.concatenate([x, np.minimum(x, 13)], axis=-1)
+    want = v @ ts.matrix.T.astype(np.int64) + ts.offsets.astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+    # and the bf16-rounded matrix would corrupt at least one index
+    corrupt = v @ rounded.T.astype(np.int64) + ts.offsets.astype(np.int64)
+    assert (corrupt != want).any()

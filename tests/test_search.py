@@ -170,3 +170,25 @@ def test_expectimax_chunked_matches_full():
         chunked(jnp.asarray(crowd), key)
     )
     assert np.isfinite(vc2).all() and (vc2 >= 0).all()
+
+
+def test_expectimax_odd_batch_respects_memory_bound():
+    """An odd root batch must still be chunked (padded, masked) so the
+    max_leaves memory bound is hard, not bypassed (the old power-of-two
+    splitter gave up on odd sizes).  Pruned boards must return the raw
+    estimate exactly regardless of padding."""
+    ts = ntuple.get_tuple_set(2)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(0)) + 1.0
+
+    def value_fn(b):
+        return ntuple.evaluate(ts, w, b.reshape(b.shape[:-2] + (16,)))
+
+    boards = engine.new_boards(13, jax.random.PRNGKey(7))  # odd batch
+    key = jax.random.PRNGKey(3)
+    est = make_expectimax_estimator(value_fn, 2, 3, 6, max_leaves=200)
+    v = np.asarray(est(boards, key))
+    assert v.shape == (13,)
+    assert np.isfinite(v).all()
+    # fresh boards are pruned (empty >= since_empty) -> exact base value
+    base = np.asarray(value_fn(boards))
+    np.testing.assert_allclose(v, base, rtol=1e-6)

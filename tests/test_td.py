@@ -75,7 +75,7 @@ def scalar_reference_update(ts, w, boards, prev_idx, prev_value, prev_valid,
 def test_train_step_update_numerics(rng, mode):
     ts = ntuple.get_tuple_set(2)
     acfg = AgentConfig(n=2, update_mode=mode, sym_mode="scatter",
-                       engine_mode="cells")
+                       engine_mode="cells", optimizer="sgd", alpha=0.25)
     tcfg = TrainConfig(
         num_envs=16, steps_per_call=1, ring_size=64, record_envs=4,
         max_record_steps=256, seed=0,
@@ -153,7 +153,8 @@ def test_terminal_env_resets_and_counts():
 
 def test_alpha_decays_on_episode_schedule():
     ts = ntuple.get_tuple_set(2)
-    acfg = AgentConfig(n=2, alpha=0.2, decay=0.5, decay_step=10)
+    acfg = AgentConfig(n=2, alpha=0.2, decay=0.5, decay_step=10,
+                       optimizer="sgd")
     tcfg = TrainConfig(
         num_envs=8, steps_per_call=32, ring_size=64, record_envs=1,
         max_record_steps=64, seed=0,
@@ -225,3 +226,26 @@ def test_recorder_best_game_is_replayable():
         board[pos] = val
         board = board.reshape(4, 4)
     assert score == best_score
+
+
+def test_recorder_overflow_flagged_not_clobbered():
+    """Games longer than max_record_steps must be flagged non-replayable
+    and excluded from best-game capture (not silently overwrite the
+    final slot).  With a 8-step cap no real game can finish in time, so
+    the best snapshot must stay empty while overflow flags rise."""
+    ts = ntuple.get_tuple_set(2)
+    acfg = AgentConfig(n=2, optimizer="sgd", sym_mode="periodic",
+                       alpha=0.25)
+    tcfg = TrainConfig(num_envs=16, steps_per_call=32, ring_size=128,
+                       record_envs=16, max_record_steps=8, seed=0)
+    state = make_state(ts, acfg, tcfg)
+    seg = jax.jit(td.make_train_segment(ts, acfg, tcfg))
+    for _ in range(6):
+        state = seg(state)
+        odo = np.asarray(state.env.odometer)[:16]
+        ovf = np.asarray(state.recorder.overflow)
+        # invariant: any recorded env past the cap is flagged
+        assert (ovf | (odo <= 8)).all()
+    assert np.asarray(state.recorder.overflow).any()
+    assert int(state.recorder.best_len) == 0
+    assert int(state.recorder.best_score) == 0

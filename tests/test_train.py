@@ -156,3 +156,73 @@ def test_random_and_score_baseline_policies():
     sc = trial(ts, None, num=128, seed=1, policy="score")
     assert sc.scores.mean() > rnd.scores.mean() * 1.3, (
         sc.scores.mean(), rnd.scores.mean())
+
+
+def test_resume_restores_rng_stream():
+    """Stream-exact resume: the checkpoint carries the training RNG key
+    and a resumed run continues the original stream instead of
+    replaying PRNGKey(seed) from the start."""
+    store = MemoryStore()
+    tr = Trainer("rngres", AgentConfig(n=2), TCFG, store=store,
+                 logger=Logger(console=False))
+    tr.run()
+    key_at_save = np.asarray(tr.state.key)
+    tr2 = Trainer("rngres", AgentConfig(n=2), TCFG, store=store,
+                  logger=Logger(console=False), resume=True)
+    assert (np.asarray(tr2.state.key) == key_at_save).all()
+    # a fresh (non-resumed) trainer with the same seed starts elsewhere
+    fresh = Trainer("rngfresh", AgentConfig(n=2), TCFG,
+                    logger=Logger(console=False))
+    assert (np.asarray(fresh.state.key) != key_at_save).any()
+
+
+def test_ma100_windows_are_per_window_not_duplicated():
+    """When one jitted segment crosses several log_every boundaries the
+    drain must read each window's own ring span — three windows with
+    distinct data must yield three distinct history points."""
+    import jax.numpy as jnp
+
+    tcfg = TrainConfig(num_envs=8, steps_per_call=8, ring_size=512,
+                       record_envs=2, max_record_steps=64, seed=0,
+                       episodes=10, checkpoint_every=1000, log_every=100)
+    tr = Trainer("ma", AgentConfig(n=2), tcfg, logger=Logger(console=False))
+    scores = np.zeros(513, np.int32)
+    for wdw in range(3):
+        scores[wdw * 100:(wdw + 1) * 100] = 1000 * (wdw + 1)
+    tr.state = tr.state._replace(
+        metrics=tr.state.metrics._replace(
+            ring_pos=jnp.int32(300), episodes=jnp.int32(300),
+            score_ring=jnp.asarray(scores),
+        )
+    )
+    nxt = tr._drain_history(100)
+    assert nxt == 400
+    assert tr.train_history == [1000, 2000, 3000]
+
+
+def test_ma100_outrun_ring_coalesces():
+    """Windows the ring has already overwritten fall back to the mean
+    over surviving episodes (not a duplicate of the latest window)."""
+    import jax.numpy as jnp
+
+    tcfg = TrainConfig(num_envs=8, steps_per_call=8, ring_size=128,
+                       record_envs=2, max_record_steps=64, seed=0,
+                       episodes=10, checkpoint_every=1000, log_every=100)
+    tr = Trainer("ma2", AgentConfig(n=2), tcfg, logger=Logger(console=False))
+    scores = np.zeros(129, np.int32)
+    # only episodes [172, 300) survive in the 128-slot ring
+    for i in range(172, 300):
+        scores[i % 128] = 5000 if i >= 200 else 1000
+    tr.state = tr.state._replace(
+        metrics=tr.state.metrics._replace(
+            ring_pos=jnp.int32(300), episodes=jnp.int32(300),
+            score_ring=jnp.asarray(scores),
+        )
+    )
+    tr._drain_history(100)
+    assert len(tr.train_history) == 3
+    # windows [0,100) and [100,200) were (partially) overwritten ->
+    # coalesced estimate over survivors; window [200,300) is exact
+    assert tr.train_history[2] == 5000
+    assert tr.train_history[0] == tr.train_history[1]
+    assert 1000 < tr.train_history[0] < 5000

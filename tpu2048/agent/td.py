@@ -64,6 +64,7 @@ class Recorder(NamedTuple):
     moves: jax.Array  # (R_env, S) i8
     spawns: jax.Array  # (R_env, S) i8
     starts: jax.Array  # (R_env, 4, 4) i8
+    overflow: jax.Array  # (R_env,) bool — game outran S; not replayable
     best_moves: jax.Array  # (S,) i8
     best_spawns: jax.Array  # (S,) i8
     best_start: jax.Array  # (4, 4) i8
@@ -173,6 +174,7 @@ def init_td_state(
         moves=jnp.zeros((r_env, s), jnp.int8),
         spawns=jnp.zeros((r_env, s), jnp.int8),
         starts=start_boards,
+        overflow=jnp.zeros((r_env,), bool),
         best_moves=jnp.zeros((s,), jnp.int8),
         best_spawns=jnp.zeros((s,), jnp.int8),
         best_start=jnp.zeros((4, 4), jnp.int8),
@@ -336,9 +338,15 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
                                   odometer=new_odo)
 
         # --- recorder: log (move, spawn) for the recorded subset --------
+        # Games longer than s_max are flagged (not silently clobbered
+        # into slot S-1): an overflowed log can't reproduce the game,
+        # so the env is excluded from best-game capture until it resets.
         rec = state.recorder
         slot = jnp.minimum(state.env.odometer[:r_env], s_max - 1)
-        rec_on = ~done[:r_env]
+        overflow = rec.overflow | (
+            ~done[:r_env] & (state.env.odometer[:r_env] >= s_max)
+        )
+        rec_on = ~done[:r_env] & ~overflow
         mcur = rec.moves[jnp.arange(r_env), slot]
         scur = rec.spawns[jnp.arange(r_env), slot]
         sp_byte = (pos[:r_env] | ((val[:r_env] - 1) << 4)).astype(jnp.int8)
@@ -350,7 +358,7 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         )
 
         # --- best finished recorded game snapshot ------------------------
-        done_rec = done[:r_env]
+        done_rec = done[:r_env] & ~overflow
         cand = jnp.where(done_rec, score[:r_env], -1)
         best_i = jnp.argmax(cand)
         take = cand[best_i] > rec.best_score
@@ -416,6 +424,7 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         starts = jnp.where(
             done[:r_env, None, None], fresh_boards, rec.starts
         )
+        overflow = jnp.where(done[:r_env], False, overflow)
 
         # --- next-step bootstrap state -----------------------------------
         if acfg.sym_mode == "scatter":
@@ -432,6 +441,7 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             moves=moves_buf,
             spawns=spawns_buf,
             starts=starts,
+            overflow=overflow,
             best_moves=best_moves,
             best_spawns=best_spawns,
             best_start=best_start,

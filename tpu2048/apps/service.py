@@ -51,11 +51,17 @@ MODES = [
     {"id": "admin", "label": "Admin"},
 ]
 
-# Training-params form spec (dash_utils.py:29-38).
+# Training-params form spec (the reference's field set,
+# dash_utils.py:29-38, plus the optimizer choice).  Defaults are the
+# champion recipe (AgentConfig defaults); pick optimizer=sgd +
+# alpha=0.25 to reproduce the reference's own rule — the decay fields
+# only apply there.
 PARAMS_SPEC = [
     {"name": "name", "type": "text", "default": "test_agent"},
-    {"name": "n", "type": "select", "default": 4, "options": [2, 3, 4, 5, 6]},
-    {"name": "alpha", "type": "number", "default": 0.25, "step": 0.0001},
+    {"name": "n", "type": "select", "default": 5, "options": [2, 3, 4, 5, 6]},
+    {"name": "optimizer", "type": "select", "default": "tc",
+     "options": ["tc", "sgd"]},
+    {"name": "alpha", "type": "number", "default": 1.0, "step": 0.0001},
     {"name": "decay", "type": "number", "default": 0.75, "step": 0.01},
     {"name": "decay_step", "type": "number", "default": 10000, "step": 1000},
     {"name": "low_alpha_limit", "type": "number", "default": 0.01,

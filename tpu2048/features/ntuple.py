@@ -185,12 +185,23 @@ def get_tuple_set(n: int) -> TupleSet:
 def feature_indices(ts: TupleSet, flat_boards: jax.Array) -> jax.Array:
     """(..., 16) exponent vectors -> (..., num_feat) int32 flat-table indices.
 
-    One float32 matmul; exact because indices < 2^24.
+    One float32 matmul; exact because indices < 2^24 — but ONLY at full
+    float32 precision: TPU default matmul precision rounds operands
+    toward bfloat16, and the base-14 coefficients of the 6-tuples
+    (14^3 = 2744, 14^5 = 537824) need more than bf16's 8 mantissa bits.
+    ``Precision.HIGHEST`` forces the exact f32 path on TPU (the
+    powers-of-16 coefficients of n<=5 happen to be bf16-exact, but the
+    pin keeps every geometry correct by construction).
     """
     x = flat_boards.astype(jnp.float32)
     xc = jnp.minimum(x, 13.0)
     v = jnp.concatenate([x, xc], axis=-1)  # (..., 32)
-    local = jnp.dot(v, jnp.asarray(ts.matrix).T, preferred_element_type=jnp.float32)
+    local = jnp.dot(
+        v,
+        jnp.asarray(ts.matrix).T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return local.astype(jnp.int32) + jnp.asarray(ts.offsets)
 
 

@@ -62,9 +62,16 @@ def initialize(
     # Pod detection must not touch the backend: jax.default_backend()
     # would initialize XLA and make jax.distributed.initialize below
     # unconditionally fail.  A multi-host TPU pod advertises multiple
-    # worker hostnames in the env.
+    # worker hostnames in the env — but a CPU-forced debug run
+    # (JAX_PLATFORMS=cpu and the like) on a pod host must not auto-init
+    # with no coordinator args, so any non-TPU platform pin disables
+    # auto-detection.
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    cpu_forced = platforms not in ("", "tpu") and "tpu" not in platforms
     worker_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
-    on_tpu_pod = len([h for h in worker_hosts.split(",") if h]) > 1
+    on_tpu_pod = (
+        len([h for h in worker_hosts.split(",") if h]) > 1 and not cpu_forced
+    )
     if not explicit and not on_tpu_pod:
         return False
     jax.distributed.initialize(

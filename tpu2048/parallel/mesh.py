@@ -94,6 +94,7 @@ def td_state_shardings(mesh: Mesh, engine_mode: str = "cells") -> TDState:
             moves=rep,
             spawns=rep,
             starts=rep,
+            overflow=rep,
             best_moves=rep,
             best_spawns=rep,
             best_start=rep,

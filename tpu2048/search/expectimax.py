@@ -118,15 +118,21 @@ def make_expectimax_estimator(
             return value_fn(boards)
         b = boards.shape[0]
         leaves_per_root = (4 * width) ** depth
-        chunks = 1
-        while (b % (chunks * 2) == 0
-               and b // chunks * leaves_per_root > max_leaves):
-            chunks *= 2
-        if chunks == 1:
+        per_chunk = max(1, max_leaves // leaves_per_root)
+        if b <= per_chunk:
             return tree(boards, key)
-        chunked = boards.reshape(chunks, b // chunks, 4, 4)
+        # hard memory bound for ANY batch size: pad the root batch up
+        # to a chunkable multiple (empty pad boards are cheap to score
+        # and discarded), so odd batches can't silently blow the bound
+        chunks = -(-b // per_chunk)
+        padded = chunks * per_chunk
+        if padded != b:
+            boards = jnp.concatenate(
+                [boards, jnp.zeros((padded - b, 4, 4), boards.dtype)]
+            )
+        chunked = boards.reshape(chunks, per_chunk, 4, 4)
         keys = jax.random.split(key, chunks)
         vals = jax.lax.map(lambda a: tree(a[0], a[1]), (chunked, keys))
-        return vals.reshape(b)
+        return vals.reshape(padded)[:b]
 
     return estimator

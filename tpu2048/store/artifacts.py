@@ -114,7 +114,10 @@ class LocalStore(_SerializingStore):
 
     def _path(self, key: str) -> str:
         p = os.path.normpath(os.path.join(self.root, key))
-        if not p.startswith(self.root + os.sep):
+        # commonpath handles both the sibling-prefix escape
+        # (/root-evil vs /root) and a "/" root (where a trailing-sep
+        # startswith check would reject every key)
+        if p == self.root or os.path.commonpath([p, self.root]) != self.root:
             raise ValueError(f"key escapes store root: {key}")
         return p
 

@@ -4,11 +4,14 @@ Capability parity with the reference's split persistence
 (``/root/reference/game2048/r_learning.py:166-200``): metadata under
 ``a/<name>.json`` and the weight table under ``weights/<name>.npz`` —
 but as version-safe JSON + arrays instead of pickled class instances,
-and including everything needed for exact resume: schedule state
+and including everything needed for stream-exact resume: schedule state
 (alpha, next_decay, top_tile), episode counter, train history, and the
-RNG key.  The reference's "resume and retune" capability (reload, then
-edit hyperparameters) is preserved: load returns a plain config dict
-that can be modified before rebuilding the state.
+RNG key (carried in ``extras`` and restored by ``Trainer``, so a
+resumed run continues the original random stream instead of replaying
+it; env boards themselves restart fresh — only their spawn randomness
+continues).  The reference's "resume and retune" capability (reload,
+then edit hyperparameters) is preserved: load returns a plain config
+dict that can be modified before rebuilding the state.
 """
 
 from __future__ import annotations
@@ -43,8 +46,9 @@ def save_agent(
 ) -> None:
     """Atomic two-part save: JSON metadata + npz weights.
 
-    ``extras`` carries additional optimizer tables (e.g. the temporal
-    coherence E/A accumulators) in the same npz.
+    ``extras`` carries additional state arrays (the temporal-coherence
+    E/A accumulators, the training RNG key) in the same npz; their
+    dtypes are preserved (the RNG key is uint32).
     """
     doc = {
         "name": name,
@@ -54,7 +58,7 @@ def save_agent(
     }
     arrays = {"weights": np.asarray(weights, np.float32)}
     for k, v in (extras or {}).items():
-        arrays[k] = np.asarray(v, np.float32)
+        arrays[k] = np.asarray(v)
     store.save(weights_key(name), arrays)
     store.save(agent_key(name), doc)
 

@@ -88,8 +88,15 @@ class Trainer:
             extras = meta.get("extras", {})
             if acfg.optimizer == "tc" and "opt_e" in extras:
                 self.state = self.state._replace(
-                    opt_e=jnp.asarray(extras["opt_e"]),
-                    opt_a=jnp.asarray(extras["opt_a"]),
+                    opt_e=jnp.asarray(extras["opt_e"], jnp.float32),
+                    opt_a=jnp.asarray(extras["opt_a"], jnp.float32),
+                )
+            if "rng_key" in extras:
+                # stream-exact resume: continue the original RNG stream
+                # rather than replaying PRNGKey(seed) from scratch (env
+                # boards restart fresh; spawn randomness continues)
+                self.state = self.state._replace(
+                    key=jnp.asarray(extras["rng_key"], jnp.uint32)
                 )
             self.state = self.state._replace(
                 alpha=jnp.float32(meta.get("alpha", acfg.alpha)),
@@ -126,21 +133,52 @@ class Trainer:
         tiles = np.asarray(metrics.tile_ring)[idx]
         return scores, tiles
 
-    def _report_100(self, episodes: int) -> None:
-        scores, tiles = self._ring_slice(self.state.metrics, 100)
-        if len(scores) == 0:
-            return
-        ma = int(scores.mean())
-        self.train_history.append(ma)
-        self.log.add(
-            f"episode {episodes}: ma_100 = {ma} "
-            f"(last batch top {int(scores.max())})"
-        )
-        if self.metrics_writer is not None:
-            self.metrics_writer.write(
-                {"kind": "ma100", "episodes": episodes, "ma100": ma,
-                 "alpha": float(np.asarray(self.state.alpha))}
+    def _drain_history(self, next_100: int) -> int:
+        """Append one ma-100 point PER 100-episode window crossed since
+        the last drain (the reference appends per window,
+        ``r_learning.py:315-318``), reading each window's own ring span
+        by absolute episode position.  A fast TPU segment can cross
+        dozens of boundaries at once; re-reading the final ring state
+        for each would duplicate one value across all of them.  Windows
+        the ring has already overwritten (segment completed more than
+        ``ring_size`` episodes) get the mean over all surviving new
+        episodes — the best available estimate, logged as coalesced.
+        Returns the updated next_100 boundary.
+        """
+        every = self.tcfg.log_every
+        ring = self.tcfg.ring_size
+        met = self.state.metrics
+        pos = int(np.asarray(met.ring_pos))
+        if pos < next_100:
+            return next_100
+        scores_np = np.asarray(met.score_ring)
+        alpha = float(np.asarray(self.state.alpha))
+        coalesced = 0
+        while pos >= next_100:
+            start, end = next_100 - every, next_100
+            if pos - start <= ring:
+                window = scores_np[np.arange(start, end) % ring]
+            else:  # overwritten: coalesce onto surviving episodes
+                window = scores_np[np.arange(pos - ring, pos) % ring]
+                coalesced += 1
+            ma = int(window.mean())
+            self.train_history.append(ma)
+            self.log.add(
+                f"episode {next_100}: ma_100 = {ma} "
+                f"(window top {int(window.max())})"
             )
+            if self.metrics_writer is not None:
+                self.metrics_writer.write(
+                    {"kind": "ma100", "episodes": next_100, "ma100": ma,
+                     "alpha": alpha}
+                )
+            next_100 += every
+        if coalesced:
+            self.log.add(
+                f"({coalesced} ma_{every} windows outran the "
+                f"{ring}-episode ring and were coalesced)"
+            )
+        return next_100
 
     def _report_1000(self, episodes: int, t_block: float) -> None:
         scores, tiles = self._ring_slice(self.state.metrics, 1000)
@@ -228,12 +266,10 @@ class Trainer:
             "train_history": [int(x) for x in self.train_history],
             "num_envs": self.tcfg.num_envs,
         }
-        extras = None
+        extras = {"rng_key": np.asarray(self.state.key, np.uint32)}
         if self.acfg.optimizer == "tc":
-            extras = {
-                "opt_e": np.asarray(self.state.opt_e),
-                "opt_a": np.asarray(self.state.opt_a),
-            }
+            extras["opt_e"] = np.asarray(self.state.opt_e)
+            extras["opt_a"] = np.asarray(self.state.opt_a)
         ckpt.save_agent(
             self.store, self.name, self.acfg,
             np.asarray(self.state.weights), meta, extras=extras,
@@ -279,9 +315,7 @@ class Trainer:
             episodes = int(np.asarray(self.state.metrics.episodes))
             if registry is not None and job is not None:
                 registry.heartbeat(job.parent)
-            while episodes >= next_100:
-                self._report_100(next_100)
-                next_100 += tcfg.log_every
+            next_100 = self._drain_history(next_100)
             if episodes >= next_1000:
                 self._report_1000(episodes, time.time() - t_block)
                 t_block = time.time()

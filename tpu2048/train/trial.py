@@ -214,12 +214,15 @@ def trial(
     log.add(report)
 
     best = int(order[0])
-    best_game = _game_record(
-        starts[best],
-        np.asarray(st.moves)[best],
-        np.asarray(st.spawns)[best],
-        int(odos[best]),
-    )
+    if int(odos[best]) >= step_cap:
+        best_game = None  # log overflowed; replay would be wrong
+    else:
+        best_game = _game_record(
+            starts[best],
+            np.asarray(st.moves)[best],
+            np.asarray(st.spawns)[best],
+            int(odos[best]),
+        )
     return TrialResult(
         scores=scores,
         tiles=tiles,
