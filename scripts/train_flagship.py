@@ -35,6 +35,7 @@ def main():
     p.add_argument("--sym-mode", default="periodic",
                    choices=["periodic", "scatter", "none"])
     p.add_argument("--update-mode", default="mean", choices=["mean", "sum"])
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "tc"])
     p.add_argument("--table-ops", default="gather",
                    choices=["gather", "onehot", "pallas"])
     p.add_argument("--steps-per-call", type=int, default=64)
@@ -46,7 +47,7 @@ def main():
         n=args.n, alpha=args.alpha, decay=args.decay,
         decay_step=args.decay_step, low_alpha_limit=args.low_alpha_limit,
         sym_mode=args.sym_mode, update_mode=args.update_mode,
-        table_ops=args.table_ops,
+        optimizer=args.optimizer, table_ops=args.table_ops,
     )
     tcfg = TrainConfig(
         num_envs=args.num_envs, episodes=args.episodes,

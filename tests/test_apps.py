@@ -277,3 +277,84 @@ def test_viewer_headless(cli_store):
     v.pygame.event.post(v.pygame.event.Event(v.pygame.QUIT))
     done.wait(10)
     assert done.is_set()
+
+
+def test_fork_agent_carries_weights_and_retunes(server):
+    """The reference's weight carry-over workflow (application.py:586-600,
+    add_weights='weights/<name>.pkl'): clone 'webby' into a new name,
+    retune hyperparameters, keep training — weights start from the
+    source, the episode count starts fresh."""
+    store = server.service.store
+    _, src_w, src_meta = ckpt.load_agent(store, "webby")
+    r = _post(server, "/api/train/start", {
+        "params": {"name": "webby_v2", "n": 2, "alpha": 0.5,
+                   "episodes": 30},
+        "new_agent": True, "source_agent": "webby",
+    })
+    assert "job" in r
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        st = _get(server, "/api/train/status?name=webby_v2")
+        if st["state"] == "finished":
+            break
+        time.sleep(0.5)
+    assert st["state"] == "finished" and st["error"] is None, st
+    acfg, w, meta = ckpt.load_agent(store, "webby_v2")
+    assert acfg.n == 2 and acfg.alpha == 0.5
+    assert meta["forked_from"] == "webby"
+    assert meta["source_episodes"] == src_meta["episodes"]
+    # trained further from the source weights: changed, but same table
+    assert w.shape == src_w.shape
+    assert not np.allclose(w, src_w)
+    # fresh episode count (its own life, not the source's)
+    assert 0 < meta["episodes"] < src_meta["episodes"] + 100
+    # guards: existing target, missing source, self-fork
+    for body in (
+        {"params": {"name": "webby_v2", "episodes": 10},
+         "source_agent": "webby"},
+        {"params": {"name": "webby_v3", "episodes": 10},
+         "source_agent": "ghost"},
+        {"params": {"name": "webby", "episodes": 10},
+         "source_agent": "webby"},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/api/train/start", {**body, "new_agent": True})
+        assert e.value.code == 400
+
+
+def test_new_agent_name_guard(server):
+    """new_agent=True must not silently overwrite a stored agent."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/train/start", {
+            "params": {"name": "webby", "n": 2, "episodes": 10},
+            "new_agent": True,
+        })
+    assert e.value.code == 400
+
+
+def test_baseline_policy_field(server):
+    """Baselines ride their own 'policy' field, so stored agents named
+    'random' are not shadowed (advisor finding)."""
+    r = _post(server, "/api/test/start",
+              {"policy": "random", "num": 8})
+    deadline = time.time() + 120
+    text = ""
+    while time.time() < deadline:
+        text = _get(server, f"/api/logs?key={r['log']}")["text"]
+        if "average score" in text:
+            break
+        time.sleep(0.5)
+    assert "average score of 8 runs" in text
+    assert "Agent = random" in text
+    # an agent actually NAMED 'random' is evaluated as an agent
+    store = server.service.store
+    Trainer("random", AgentConfig(n=2), TINY, store=store,
+            logger=Logger(console=False)).run()
+    r2 = _post(server, "/api/test/start", {"name": "random", "num": 4})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        text = _get(server, f"/api/logs?key={r2['log']}")["text"]
+        if "average score" in text:
+            break
+        time.sleep(0.5)
+    assert "average score of 4 runs" in text

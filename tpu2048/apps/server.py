@@ -165,17 +165,19 @@ def make_handler(service: AppService):
                     body.get("params", {}),
                     parent=body.get("parent", "web"),
                     new_agent=bool(body.get("new_agent", True)),
+                    source_agent=body.get("source_agent") or None,
                 ))
             elif path == "/api/train/stop":
                 self._json({"stopped": service.stop_training(body["name"])})
             elif path == "/api/test/start":
                 self._json(service.start_test(
-                    body["name"],
+                    body.get("name", ""),
                     num=int(body.get("num", 100)),
                     depth=int(body.get("depth", 0)),
                     width=int(body.get("width", 1)),
                     since_empty=int(body.get("since_empty", 6)),
                     parent=body.get("parent", "web"),
+                    policy=body.get("policy") or None,
                 ))
             elif path == "/api/test/stop":
                 self._json({"stopped": service.stop_test(body["name"])})

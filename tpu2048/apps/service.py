@@ -149,7 +149,22 @@ class AppService:
     # -- train (application.py:471-621) ------------------------------------
 
     def start_training(self, params: Dict[str, Any], parent: str = "web",
-                       new_agent: bool = True) -> Dict[str, Any]:
+                       new_agent: bool = True,
+                       source_agent: Optional[str] = None) -> Dict[str, Any]:
+        """Start a training job.
+
+        Three entry modes, matching the reference's train form semantics
+        (``application.py:586-600``):
+          * ``new_agent=True``            — fresh weights under a new name
+            (existing names are guarded, never silently overwritten);
+          * ``new_agent=False``           — resume the named agent,
+            retuning hyperparameters from ``params``;
+          * ``source_agent="other"``      — FORK: clone another agent's
+            weights (and optimizer accumulators) under the new name,
+            retune hyperparameters, and train the copy (the reference's
+            ``add_weights='weights/<name>.pkl'`` carry-over,
+            ``r_learning.py:269-275``).
+        """
         name = str(params.get("name", "")).strip()
         if not name or not all(c.isalnum() or c in "-_" for c in name):
             raise ValueError("agent name must be alphanumeric/-/_")
@@ -160,9 +175,18 @@ class AppService:
         tcfg = train_config_from_dict(
             {**to_dict(self.default_tcfg), "episodes": episodes}
         )
-        resume = not new_agent
-        if resume and not self.store.exists(ckpt.agent_key(name)):
-            raise ValueError(f"agent '{name}' does not exist")
+        if source_agent:
+            acfg = self._fork_agent(source_agent, name, acfg)
+            resume = True
+        else:
+            resume = not new_agent
+            if resume and not self.store.exists(ckpt.agent_key(name)):
+                raise ValueError(f"agent '{name}' does not exist")
+            if not resume and self.store.exists(ckpt.agent_key(name)):
+                raise ValueError(
+                    f"agent '{name}' already exists; continue it, or fork "
+                    f"it under a new name"
+                )
         # persist the chosen config as an artifact (c/ namespace)
         self.store.save(f"c/config_{name}.json", to_dict(acfg))
         session_log = log_key()
@@ -179,6 +203,39 @@ class AppService:
         job = self.jobs.start(body, "agent", name, parent=parent,
                               exclusive=True)
         return {"job": job.id, "log": session_log}
+
+    def _fork_agent(self, source: str, name: str, acfg: AgentConfig
+                    ) -> AgentConfig:
+        """Clone ``source``'s weights under ``name`` with retuned
+        hyperparameters; the new agent starts its own episode count and
+        history (reference weight carry-over semantics)."""
+        import dataclasses
+
+        if not self.store.exists(ckpt.agent_key(source)):
+            raise ValueError(f"source agent '{source}' does not exist")
+        if self.store.exists(ckpt.agent_key(name)):
+            raise ValueError(f"agent '{name}' already exists")
+        if name == source:
+            raise ValueError("fork needs a new name")
+        src_cfg, weights, src_meta = ckpt.load_agent(self.store, source)
+        # the tuple geometry is baked into the weight table
+        acfg = dataclasses.replace(acfg, n=src_cfg.n)
+        extras = None
+        if acfg.optimizer == "tc" and src_cfg.optimizer == "tc":
+            se = src_meta.get("extras", {})
+            if "opt_e" in se:
+                extras = {"opt_e": se["opt_e"], "opt_a": se["opt_a"]}
+        meta = {
+            "episodes": 0,
+            "alpha": acfg.alpha,
+            "next_decay": acfg.decay_step,
+            "train_history": [],
+            "forked_from": source,
+            "source_episodes": int(src_meta.get("episodes", 0)),
+        }
+        ckpt.save_agent(self.store, name, acfg, np.asarray(weights),
+                        meta, extras=extras)
+        return acfg
 
     def stop_training(self, name: str) -> bool:
         return self.jobs.cancel("agent", name)
@@ -209,13 +266,19 @@ class AppService:
 
     def start_test(self, name: str, num: int = 100, depth: int = 0,
                    width: int = 1, since_empty: int = 6,
-                   parent: str = "web") -> Dict[str, Any]:
+                   parent: str = "web",
+                   policy: Optional[str] = None) -> Dict[str, Any]:
+        """Evaluate an agent — or, with ``policy`` set to "random" /
+        "score", one of the reference's baseline estimators
+        (``game_logic.py:5-10``).  The baseline choice is its own field
+        so stored agents named "random"/"score" stay evaluable."""
         session_log = log_key()
         logger = Logger(store=self.store, key=session_log, console=False)
         self.registry.acquire("log", session_log, parent)
-        if name in ("random", "score"):
-            # the reference's baseline estimators (game_logic.py:5-10)
-            policy, ts, weights = name, ntuple.get_tuple_set(2), None
+        if policy in ("random", "score"):
+            name, ts, weights = policy, ntuple.get_tuple_set(2), None
+        elif policy not in (None, "", "value"):
+            raise ValueError(f"unknown policy: {policy}")
         else:
             policy = "value"
             acfg, weights, _ = ckpt.load_agent(self.store, name)

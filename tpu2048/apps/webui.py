@@ -170,9 +170,12 @@ async function renderTrain() {
   let html = `<h3>Train Agent</h3>
    <label>agent</label>
    <select id="t-mode"><option value="new">new agent</option>
-   <option value="existing">continue existing</option></select>
+   <option value="existing">continue existing</option>
+   <option value="fork">fork existing (carry weights)</option></select>
    <span id="t-existing" style="display:none"><label>existing agent</label>
-   <select id="t-agent">${opts}</select></span>`;
+   <select id="t-agent">${opts}</select></span>
+   <span id="t-source" style="display:none"><label>source agent</label>
+   <select id="t-src">${opts}</select></span>`;
   for (const p of spec) {
     if (p.type === 'select')
       html += `<label>${p.name}</label><select id="p-${p.name}">` +
@@ -187,20 +190,24 @@ async function renderTrain() {
     <button id="t-stop">STOP</button><span id="t-status"></span></div>`;
   $('controls').innerHTML = html;
   $('t-mode').onchange = () => {
-    $('t-existing').style.display =
-      $('t-mode').value === 'existing' ? 'inline' : 'none';
+    const m = $('t-mode').value;
+    $('t-existing').style.display = m === 'existing' ? 'inline' : 'none';
+    $('t-source').style.display = m === 'fork' ? 'inline' : 'none';
   };
   $('t-start').onclick = async () => {
     const params = {};
     for (const p of spec) {
       const v = $('p-' + p.name).value;
-      params[p.name] = p.type === 'text' ? v : Number(v);
+      params[p.name] = (p.type === 'text' || p.type === 'select' &&
+        isNaN(Number(v))) ? v : Number(v);
     }
-    const isNew = $('t-mode').value === 'new';
-    if (!isNew) params.name = $('t-agent').value;
+    const tm = $('t-mode').value;
+    if (tm === 'existing') params.name = $('t-agent').value;
+    const source = tm === 'fork' ? $('t-src').value : null;
     try {
       const r = await post('/api/train/start',
-        {params, new_agent: isNew, parent: 'web'});
+        {params, new_agent: tm !== 'existing', parent: 'web',
+         source_agent: source});
       logKey = r.log; trainAgent = params.name;
       $('t-status').textContent = 'training...';
       pollLogs(); pollChart();
@@ -215,7 +222,9 @@ async function renderTrain() {
 async function renderTest() {
   const opts = await agentOptions();
   $('controls').innerHTML = `<h3>Test Agent</h3>
-   <label>agent</label><select id="e-agent">${opts}</select>
+   <label>agent</label><select id="e-agent">${opts}
+   <option value="@random">baseline: random moves</option>
+   <option value="@score">baseline: score-greedy</option></select>
    <label>games</label><input id="e-num" type="number" value="100">
    <label>depth</label><input id="e-depth" type="number" value="0">
    <label>width</label><input id="e-width" type="number" value="1">
@@ -223,15 +232,21 @@ async function renderTest() {
    <div class="row"><button id="e-start">LAUNCH!</button>
    <button id="e-stop">STOP</button><span id="e-status"></span></div>`;
   $('e-start').onclick = async () => {
+    const sel = $('e-agent').value;
+    const isBase = sel.startsWith('@');
     try {
-      const r = await post('/api/test/start', {name: $('e-agent').value,
+      const r = await post('/api/test/start', {
+        name: isBase ? '' : sel, policy: isBase ? sel.slice(1) : null,
         num: +$('e-num').value, depth: +$('e-depth').value,
         width: +$('e-width').value, since_empty: +$('e-se').value});
       logKey = r.log; $('e-status').textContent = 'running...'; pollLogs();
     } catch (e) { $('e-status').textContent = e.message; }
   };
-  $('e-stop').onclick = () =>
-    post('/api/test/stop', {name: $('e-agent').value});
+  $('e-stop').onclick = () => {
+    const sel = $('e-agent').value;
+    post('/api/test/stop',
+         {name: sel.startsWith('@') ? sel.slice(1) : sel});
+  };
 }
 
 async function renderWatch() {

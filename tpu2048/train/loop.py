@@ -69,6 +69,7 @@ class Trainer:
 
         weights = None
         meta: Dict[str, Any] = {}
+        self._provenance: Dict[str, Any] = {}
         if resume:
             if store is None:
                 raise ValueError("resume requires a store")
@@ -79,6 +80,10 @@ class Trainer:
                 )
             weights = np.asarray(w)
             self.train_history = list(meta.get("train_history", []))
+            self._provenance = {
+                k: meta[k] for k in ("forked_from", "source_episodes")
+                if k in meta
+            }
         self.state = td.init_td_state(
             self.ts, acfg, tcfg, jax.random.PRNGKey(tcfg.seed), weights=weights
         )
@@ -258,6 +263,7 @@ class Trainer:
         if self.store is None:
             return
         meta = {
+            **self._provenance,
             "episodes": int(np.asarray(self.state.metrics.episodes)),
             "top_score": int(np.asarray(self.state.metrics.best_score)),
             "top_tile": int(np.asarray(self.state.top_tile)),
