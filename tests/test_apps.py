@@ -147,10 +147,13 @@ def test_test_mode(server):
     deadline = time.time() + 120
     while time.time() < deadline:
         text = _get(server, f"/api/logs?key={r['log']}")["text"]
-        if "average score" in text:
+        if "Best game saved" in text:
             break
         time.sleep(0.5)
     assert "average score of 8 runs" in text
+    # live per-game progress flowed into the session log
+    assert "game 1/8: score = " in text
+    assert "games done, running average = " in text
     assert "best_trial_webby" in _get(server, "/api/games")
 
 
@@ -358,3 +361,21 @@ def test_baseline_policy_field(server):
             break
         time.sleep(0.5)
     assert "average score of 4 runs" in text
+
+
+def test_guide_docs_served(server):
+    """Guide mode serves real documentation (the reference's user-guide
+    + project-description modals, application.py:185-219), not a stub
+    paragraph."""
+    docs = _get(server, "/api/guide")
+    assert "guide" in docs and len(docs["guide"]) > 500
+    assert "project" in docs and "champion" in docs["project"]
+    assert "design" in docs
+
+
+def test_stats_endpoint(server):
+    server.service.memory.min_interval = 0.0
+    _post(server, "/api/heartbeat", {"parent": "web"})
+    st = _get(server, "/api/stats")
+    assert st["now"]["rss_mb"] > 0
+    assert "rss = " in st["history"]

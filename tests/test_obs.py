@@ -136,3 +136,39 @@ def test_job_error_captured():
     job = jm.start(body, "train", "x")
     job.thread.join(timeout=2)
     assert job.error == "ValueError: boom"
+
+
+def test_memory_telemetry_snapshot_and_monitor():
+    """Memory telemetry parity (reference start.py:131-141): RSS
+    sampling into an appendable memory_usage.txt artifact, rate-limited
+    and trimmed."""
+    from tpu2048.obs import telemetry
+    from tpu2048.store.artifacts import MemoryStore
+
+    s = telemetry.snapshot()
+    assert s["rss_mb"] > 10  # a real python process
+    store = MemoryStore()
+    mon = telemetry.MemoryMonitor(store, min_interval=0.0, max_lines=5)
+    assert mon.sample(tag="t") is not None
+    assert "rss = " in store.load("memory_usage.txt")
+    # rate limit: immediate resample is suppressed
+    mon.min_interval = 60.0
+    assert mon.sample() is None
+    # trim keeps the artifact bounded
+    mon.min_interval = 0.0
+    for _ in range(10):
+        mon.sample()
+    assert len(store.load("memory_usage.txt").splitlines()) <= 5
+    assert "rss = " in mon.tail()
+
+
+def test_service_heartbeat_samples_memory():
+    from tpu2048.apps.service import AppService
+    from tpu2048.store.artifacts import MemoryStore
+
+    svc = AppService(MemoryStore())
+    svc.memory.min_interval = 0.0
+    svc.heartbeat("web")
+    st = svc.system_stats()
+    assert st["now"]["rss_mb"] > 0
+    assert "rss = " in st["history"]

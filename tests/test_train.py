@@ -226,3 +226,34 @@ def test_ma100_outrun_ring_coalesces():
     assert tr.train_history[2] == 5000
     assert tr.train_history[0] == tr.train_history[1]
     assert 1000 < tr.train_history[0] < 5000
+
+
+def test_trial_per_game_progress_and_shuffle_stats():
+    """The reference logs each game's score/moves as it finishes
+    (r_learning.py:374-375) and reports Game.counter shuffle stats in
+    the final report (r_learning.py:396-398); the lockstep trial must
+    surface both."""
+    from tpu2048.store.artifacts import MemoryStore
+
+    store = MemoryStore()
+    log = Logger(store=store, key="l/trial.txt", console=False)
+    ts = ntuple.get_tuple_set(2)
+    w = ntuple.init_weights(ts, __import__("jax").random.PRNGKey(0))
+    res = trial(ts, w, num=8, seed=3, step_cap=2048, steps_per_call=64,
+                logger=log)
+    text = log.tail()
+    # every game got its own completion line
+    for i in range(8):
+        assert f"game {i + 1}/8: score = " in text, text
+    assert "games done, running average = " in text
+    # shuffle stats: greedy = 4 root afterstates per move
+    total_moves = int(res.odometers.sum())
+    assert f"total shuffles = {total_moves * 4} (4 per move)" in text
+    assert "average time per shuffle" in text
+    # with search the per-move count grows by the exact tree size:
+    # depth=2, width=3 -> E(1)=12, E(2)=3*(4+48)=156, per move 4+624
+    res2 = trial(ts, w, num=4, seed=4, step_cap=512, steps_per_call=64,
+                 search=SearchConfig(depth=2, width=3, since_empty=6),
+                 logger=Logger(store=store, key="l/t2.txt", console=False))
+    t2 = store.load("l/t2.txt")
+    assert "(628 per move)" in t2, t2[-500:]

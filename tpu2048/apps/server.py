@@ -152,6 +152,10 @@ def make_handler(service: AppService):
                 self._json(service.replay_frames(q["name"]))
             elif path == "/api/logs":
                 self._json({"text": service.logs(q["key"])})
+            elif path == "/api/stats":
+                self._json(service.system_stats())
+            elif path == "/api/guide":
+                self._json(service.guide_docs())
             elif path == "/api/health":
                 self._json({"ok": True, "time": time.time()})
             else:

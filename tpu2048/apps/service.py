@@ -109,11 +109,38 @@ class AppService:
         self.watches: Dict[str, WatchSession] = {}
         self.plays: Dict[str, ParityGame] = {}
         self._lock = threading.Lock()
+        from ..obs.telemetry import MemoryMonitor
+
+        self.memory = MemoryMonitor(store)
 
     # -- discovery / admin (application.py:222-299) ------------------------
 
     def modes(self) -> List[Dict[str, str]]:
         return MODES
+
+    def guide_docs(self) -> Dict[str, str]:
+        """Markdown documents for the Guide mode (the reference serves
+        its user guide + 4 project-description pages via modals,
+        ``application.py:185-219``).  Read from the repo ``docs/`` tree
+        when present, with a built-in fallback for bare installs."""
+        import pathlib
+
+        docs_dir = pathlib.Path(__file__).resolve().parents[2] / "docs"
+        out: Dict[str, str] = {}
+        for key, fn in (("guide", "user_guide.md"),
+                        ("project", "project.md"),
+                        ("design", "design.md")):
+            p = docs_dir / fn
+            try:
+                out[key] = p.read_text()
+            except OSError:
+                pass
+        out.setdefault("guide", (
+            "# tpu2048\n\nTPU-native 2048 RL: train, test, watch and "
+            "replay n-tuple TD(0) agents; play yourself; manage stored "
+            "artifacts in Admin."
+        ))
+        return out
 
     def params_spec(self) -> List[Dict[str, Any]]:
         return PARAMS_SPEC
@@ -142,9 +169,19 @@ class AppService:
 
     def heartbeat(self, parent: str) -> None:
         self.registry.heartbeat(parent)
+        # memory telemetry on the heartbeat cadence, the reference's
+        # psutil sampling in refresh_status (start.py:131-141)
+        self.memory.sample(tag=parent)
 
     def vacuum(self) -> List[str]:
         return self.registry.vacuum()
+
+    def system_stats(self) -> Dict[str, Any]:
+        """Current host/device memory picture + the sampled history
+        (the reference's memory_usage.txt display)."""
+        from ..obs import telemetry
+
+        return {"now": telemetry.snapshot(), "history": self.memory.tail()}
 
     # -- train (application.py:471-621) ------------------------------------
 

@@ -42,7 +42,12 @@ INDEX_HTML = r"""<!DOCTYPE html>
  td { padding: 4px 10px; border-bottom: 1px solid #32323f; }
  a { color: #8fd460; }
  .row { display: flex; gap: 10px; align-items: center; margin: 8px 0; }
- #guide { max-width: 640px; line-height: 1.5; font-size: 14px; }
+ #guide { max-width: 680px; line-height: 1.5; font-size: 14px;
+          max-height: 560px; overflow-y: auto; }
+ #guide pre { background: #14141a; padding: 8px; border-radius: 6px;
+          overflow-x: auto; font-size: 12px; }
+ #guide code { background: #14141a; padding: 1px 4px; border-radius: 4px;
+          font-size: 13px; }
 </style>
 </head>
 <body>
@@ -144,19 +149,70 @@ async function setMode(m) {
   if (m === 'admin') await renderAdmin();
 }
 
-function renderGuide() {
-  $('controls').innerHTML = `<div id="guide"><h3>Guide</h3>
-  <p>This is <b>tpu2048</b> — a TPU-native reinforcement-learning system
-  for the game 2048. An n-tuple TD(0) agent learns an afterstate value
-  function over lockstep vectorized environments on TPU.</p>
-  <p><b>Train Agent</b>: create or continue an agent (choose n and the
-  learning-rate schedule) and watch the metrics stream in.<br>
-  <b>Test Agent</b>: play N games with a trained agent, optionally
-  deepened by expectimax search (depth/width/since_empty).<br>
-  <b>Watch Agent</b>: live board stream of the agent playing.<br>
-  <b>Replay Game</b>: step through any stored game.<br>
-  <b>Play Yourself</b>: arrow keys.<br>
-  <b>Admin</b>: manage stored artifacts.</p></div>`;
+// minimal markdown renderer: headers, bold/italic/code, lists, tables
+function mdToHtml(md) {
+  const esc = s => s.replace(/&/g,'&amp;').replace(/</g,'&lt;')
+                    .replace(/>/g,'&gt;');
+  const inline = s => esc(s)
+    .replace(/`([^`]+)`/g, '<code>$1</code>')
+    .replace(/\*\*([^*]+)\*\*/g, '<b>$1</b>')
+    .replace(/\*([^*]+)\*/g, '<i>$1</i>')
+    .replace(/\[([^\]]+)\]\(([^)]+)\)/g, '<a href="$2">$1</a>');
+  const lines = md.split('\n');
+  let html = '', inList = false, inCode = false, tbl = null;
+  const flushTbl = () => {
+    if (!tbl) return;
+    html += '<table>' + tbl.map((r, i) =>
+      '<tr>' + r.map(c => i ? `<td>${inline(c)}</td>`
+                            : `<td><b>${inline(c)}</b></td>`).join('') +
+      '</tr>').join('') + '</table>';
+    tbl = null;
+  };
+  for (const ln of lines) {
+    if (ln.startsWith('```')) {
+      flushTbl();
+      html += inCode ? '</pre>' : '<pre>'; inCode = !inCode; continue;
+    }
+    if (inCode) { html += esc(ln) + '\n'; continue; }
+    if (/^\s*\|/.test(ln)) {
+      const cells = ln.replace(/^\s*\||\|\s*$/g, '').split('|')
+        .map(c => c.trim());
+      if (cells.every(c => /^[-: ]+$/.test(c))) continue;
+      (tbl = tbl || []).push(cells);
+      continue;
+    }
+    flushTbl();
+    if (inList && !/^\s*[-*] /.test(ln)) { html += '</ul>'; inList = false; }
+    const h = ln.match(/^(#{1,4}) (.*)/);
+    if (h) { html += `<h${h[1].length+1}>${inline(h[2])}</h${h[1].length+1}>`; }
+    else if (/^\s*[-*] /.test(ln)) {
+      if (!inList) { html += '<ul>'; inList = true; }
+      html += `<li>${inline(ln.replace(/^\s*[-*] /, ''))}</li>`;
+    }
+    else if (ln.trim() === '') html += '<br>';
+    else html += inline(ln) + '\n';
+  }
+  if (inList) html += '</ul>';
+  flushTbl();
+  return html;
+}
+
+async function renderGuide() {
+  let docs = {};
+  try { docs = await api('/api/guide'); } catch (e) {}
+  const tabs = [['guide','User guide'],['project','Project'],
+                ['design','Design']].filter(t => docs[t[0]]);
+  $('controls').innerHTML = `<div class="row">` +
+    tabs.map(t => `<button data-doc="${t[0]}">${t[1]}</button>`).join('') +
+    `</div><div id="guide"></div>`;
+  const show = k => {
+    $('guide').innerHTML = mdToHtml(docs[k] || '');
+    document.querySelectorAll('[data-doc]').forEach(b =>
+      b.classList.toggle('active', b.dataset.doc === k));
+  };
+  document.querySelectorAll('[data-doc]').forEach(b =>
+    b.onclick = () => show(b.dataset.doc));
+  if (tabs.length) show(tabs[0][0]);
 }
 
 async function agentOptions() {
@@ -387,7 +443,21 @@ function pollChart() {
 
 async function renderAdmin() {
   const files = await api('/api/files');
-  let html = `<h3>Admin — stored files</h3>
+  let stats = {now: {}, history: ''};
+  try { stats = await api('/api/stats'); } catch (e) {}
+  const n = stats.now || {};
+  let html = `<h3>Admin</h3>
+   <div style="font-size:13px;margin-bottom:8px">
+     <b>memory</b>: rss ${n.rss_mb ?? '?'} MiB` +
+   (n.hbm_in_use_mb !== undefined ?
+     ` &nbsp; hbm ${n.hbm_in_use_mb}${n.hbm_limit_mb ?
+       ' / ' + n.hbm_limit_mb : ''} MiB (${n.device || ''})` : '') +
+   `</div>` +
+   (stats.history ? `<details style="font-size:12px;margin-bottom:8px">
+     <summary>memory history</summary>
+     <pre style="max-height:140px;overflow:auto">${stats.history}</pre>
+     </details>` : '') +
+   `<h4 style="margin:8px 0 4px">Stored files</h4>
    <div class="row"><input type="file" id="up-file">
    <input id="up-key" placeholder="key e.g. c/myconf.json">
    <button id="up-btn">upload</button></div><table>`;

@@ -166,11 +166,32 @@ def trial(
         donate_argnums=0,
     )
     t0 = time.time()
+    prev_active = np.ones(num, bool)
     while True:
         if stop_cb is not None and stop_cb():
             break
         st = seg(st)
-        n_active = int(np.asarray(st.active.sum()))
+        active_np = np.asarray(st.active)
+        n_active = int(active_np.sum())
+        # per-game completion log, the reference's live trial progress
+        # (``r_learning.py:374-375``): each game's score/moves as it
+        # finishes, plus a running average over completed games
+        newly = np.nonzero(prev_active & ~active_np)[0]
+        if newly.size:
+            scores_np = np.asarray(st.score)
+            odos_np = np.asarray(st.odometer)
+            for i in newly:
+                log.add(
+                    f"game {int(i) + 1}/{num}: score = "
+                    f"{int(scores_np[i])}, moves = {int(odos_np[i])}"
+                )
+            done_mask = ~active_np
+            log.add(
+                f"-- {int(done_mask.sum())}/{num} games done, running "
+                f"average = {float(scores_np[done_mask].mean()):.1f}, "
+                f"{round(time.time() - t0, 1)} s elapsed"
+            )
+        prev_active = active_np
         if progress_cb is not None:
             progress_cb(st)
         if n_active == 0:
@@ -198,6 +219,17 @@ def trial(
         lines.append(f"score = {scores[i]} moves = {odos[i]} "
                      f"reached {1 << int(tiles[i])}\n")
     total_moves = int(odos.sum())
+    # "shuffle" statistics, the reference's Game.counter perf report
+    # (``r_learning.py:396-398`` / ``game_logic.py:52,137``): one
+    # shuffle = one row-LUT move resolution (pre_move equivalent).
+    # Each move resolves the 4 root afterstates, and with search each
+    # chance child resolves 4 more at every level — exact for this
+    # implementation since pruned subtrees still execute (masked).
+    expand = 0  # pre_move-equivalents per searched board
+    for _ in range(scfg.depth):
+        expand = scfg.width * (4 + 4 * expand)
+    shuffles_per_move = 4 + 4 * expand
+    total_shuffles = total_moves * shuffles_per_move
     lines += [
         f"average score of {num} runs = {round(float(scores.mean()), 3)}",
         f"16384 reached in {share(14)}%",
@@ -209,6 +241,10 @@ def trial(
         f"average time per move = "
         f"{round(elapsed / max(total_moves, 1) * 1000, 3)} ms",
         f"total env-moves = {total_moves}",
+        f"total shuffles = {total_shuffles} "
+        f"({shuffles_per_move} per move)",
+        f"average time per shuffle = "
+        f"{round(elapsed / max(total_shuffles, 1) * 1000, 4)} ms",
     ]
     report = "\n".join(lines)
     log.add(report)
