@@ -47,14 +47,18 @@ def test_sharded_train_segment_runs_and_learns():
     assert state.weights.sharding.spec == P()
 
 
-def test_sharded_matches_single_device_episodes():
-    """Same program partitioned differently: per-step env dynamics are
-    RNG-deterministic, so completed-episode counts should match closely
-    (float association may reorder ties, so allow small slack)."""
+def test_sharded_matches_single_device_exactly():
+    """Same program partitioned differently: the per-step env dynamics
+    are RNG-deterministic, so over a short horizon (before float
+    reduction-order drift in the weight table can flip an argmax) the
+    8-way-sharded run must match the single-device run BITWISE on
+    boards, scores, odometers and episode counts.  sgd keeps drift
+    ~1e-7; the tc optimizer's |E|/A rates amplify reduction-order noise
+    too fast for a bitwise horizon."""
     ts = ntuple.get_tuple_set(2)
-    acfg = AgentConfig(n=2)
+    acfg = AgentConfig(n=2, optimizer="sgd", alpha=0.25)
     tcfg = TrainConfig(
-        num_envs=64, steps_per_call=16, ring_size=256, record_envs=2,
+        num_envs=64, steps_per_call=8, ring_size=256, record_envs=2,
         max_record_steps=256, seed=3,
     )
     state1 = td.init_td_state(ts, acfg, tcfg, jax.random.PRNGKey(3))
@@ -64,12 +68,51 @@ def test_sharded_matches_single_device_episodes():
         td.init_td_state(ts, acfg, tcfg, jax.random.PRNGKey(3)), m
     )
     seg2 = pmesh.make_sharded_train_segment(ts, acfg, tcfg, m)
-    for _ in range(4):
+    for k in range(3):
         state1 = seg1(state1)
         state2 = seg2(state2)
-    e1 = int(np.asarray(state1.metrics.episodes))
-    e2 = int(np.asarray(state2.metrics.episodes))
-    assert abs(e1 - e2) <= max(4, int(0.25 * max(e1, e2))), (e1, e2)
+        np.testing.assert_array_equal(
+            np.asarray(state1.env.codes), np.asarray(state2.env.codes),
+            err_msg=f"boards diverged at segment {k}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state1.env.score), np.asarray(state2.env.score))
+        np.testing.assert_array_equal(
+            np.asarray(state1.env.odometer),
+            np.asarray(state2.env.odometer))
+        assert int(np.asarray(state1.metrics.episodes)) == int(
+            np.asarray(state2.metrics.episodes))
+    # weights agree to float reduction-order tolerance
+    w1 = np.asarray(state1.weights)
+    w2 = np.asarray(state2.weights)
+    np.testing.assert_allclose(w1, w2, atol=1e-5)
+
+
+def test_model_axis_n6_motivating_case():
+    """The TP analogue on its actual motivating case (SURVEY §2.2): the
+    n=6 tuple set's 95.7M-entry table (12x14^6 six-tuple tables +
+    the n=5 set) sharded along the model axis, with the train segment
+    compiling and learning under GSPMD."""
+    ts = ntuple.get_tuple_set(6)
+    assert ts.total > 90_000_000  # the case that motivates sharding
+    acfg = AgentConfig(n=6, optimizer="sgd", alpha=0.25,
+                       sym_mode="periodic", table_ops="gather")
+    tcfg = TrainConfig(
+        num_envs=16, steps_per_call=4, ring_size=32, record_envs=1,
+        max_record_steps=64, seed=0,
+    )
+    m = pmesh.make_mesh(MeshConfig(data=2, model=4))
+    state = td.init_td_state(ts, acfg, tcfg, jax.random.PRNGKey(0))
+    state = pmesh.shard_td_state(state, m)
+    assert state.weights.sharding.spec == P("model")
+    # each model shard holds 1/4 of the ~383 MB table
+    shard_bytes = state.weights.addressable_shards[0].data.nbytes
+    assert shard_bytes * 4 == state.weights.nbytes
+    seg = pmesh.make_sharded_train_segment(ts, acfg, tcfg, m)
+    out = seg(state)
+    w = out.weights
+    assert w.sharding.spec == P("model")
+    assert bool(jnp.isfinite(jnp.abs(w).sum()))
 
 
 def test_dryrun_multichip_entry():
