@@ -192,3 +192,29 @@ def test_expectimax_odd_batch_respects_memory_bound():
     # fresh boards are pruned (empty >= since_empty) -> exact base value
     base = np.asarray(value_fn(boards))
     np.testing.assert_allclose(v, base, rtol=1e-6)
+
+
+def test_codes_expectimax_matches_cells_exactly():
+    """The codes-engine search is an implementation swap, not a
+    semantic change: same RNG draw structure, same tree, so values
+    must match the cells-engine path BITWISE on crowded boards that
+    actually search (and on pruned boards trivially)."""
+    ts = ntuple.get_tuple_set(2)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(0)) + 1.0
+
+    def value_fn(b):
+        return ntuple.evaluate(ts, w, b.reshape(b.shape[:-2] + (16,)))
+
+    rng = np.random.default_rng(7)
+    boards = rng.integers(1, 8, size=(24, 4, 4)).astype(np.int8)
+    boards[rng.random((24, 4, 4)) < 0.15] = 0  # few empties -> searched
+    boards = jnp.asarray(boards)
+    key = jax.random.PRNGKey(11)
+    for depth, width in ((1, 2), (2, 3), (3, 4)):
+        cells_est = make_expectimax_estimator(
+            value_fn, depth, width, 6, engine_mode="cells")
+        codes_est = make_expectimax_estimator(
+            value_fn, depth, width, 6, engine_mode="codes")
+        vc = np.asarray(cells_est(boards, key))
+        vk = np.asarray(codes_est(boards, key))
+        np.testing.assert_array_equal(vc, vk)

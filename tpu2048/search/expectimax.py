@@ -24,10 +24,15 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..engine import core as engine
+from ..engine import fast as engf
 
 ValueFn = Callable[[jax.Array], jax.Array]  # (B,4,4) -> (B,) f32
+
+# transposed-cell -> canonical-cell permutation (see agent/td.py)
+_TPERM = np.arange(16).reshape(4, 4).T.reshape(16)
 
 
 def _sample_spawns(boards: jax.Array, width: int, key: jax.Array):
@@ -95,9 +100,85 @@ def expectimax_value(
     return jnp.where(empty >= since_empty, base, avg)
 
 
+def _sample_spawns_codes(codes: jax.Array, width: int, key: jax.Array):
+    """Codes twin of ``_sample_spawns``: identical RNG draw structure
+    (same shapes from the same key), so values are bitwise-equal to the
+    cells path; children are built by pure code arithmetic instead of
+    scatter into int8 boards."""
+    b = codes.shape[0]
+    cells = engf.cells_from_codes(codes)  # (B, 16)
+    empty = cells == 0
+    cnt = empty.sum(axis=1)
+    kp, kv = jax.random.split(key)
+    noise = jax.random.uniform(kp, (b, 16), minval=1e-6, maxval=1.0)
+    scores = jnp.where(empty, noise, -1.0)
+    _, pos = jax.lax.top_k(scores, width)  # (B, width)
+    slot = jnp.arange(width)
+    valid = slot[None, :] < jnp.minimum(cnt, width)[:, None]
+    val = jnp.where(
+        jax.random.uniform(kv, (b, width)) < 0.9, 1, 2
+    ).astype(jnp.int32)
+    row, col = pos // 4, pos % 4
+    add = val << ((3 - col) * 4)  # (B, width)
+    rows4 = jnp.arange(4)
+    children = codes[:, None, :] + jnp.where(
+        rows4[None, None, :] == row[..., None], add[..., None], 0
+    )  # (B, width, 4)
+    return children, valid
+
+
+def expectimax_value_codes(
+    value_fn: ValueFn,
+    codes: jax.Array,
+    key: jax.Array,
+    depth: int,
+    width: int,
+    since_empty: int,
+) -> jax.Array:
+    """Codes-engine expectimax: bitwise-identical values to
+    ``expectimax_value`` at a fraction of the expansion cost — each
+    level resolves all 4 moves of every chance child with 16 narrow
+    LUT gathers per board (``afterstates_nc``, no rot90 relayouts, no
+    int8 board materialization) and deadness falls out of the same
+    legality bits instead of a separate ``is_terminal`` pass."""
+    cells = engf.cells_from_codes(codes)
+    base = value_fn(cells.reshape(cells.shape[:-1] + (4, 4)))
+    if depth == 0:
+        return base
+    b = codes.shape[0]
+    empty = (cells == 0).sum(axis=1)
+
+    k_spawn, k_rec = jax.random.split(jax.random.fold_in(key, depth))
+    children, valid = _sample_spawns_codes(codes, width, k_spawn)
+    flat_children = children.reshape(b * width, 4)
+    aft, legal, _t = engf.afterstates_nc(flat_children)  # (4, B*W, 4)
+    dead = ~legal.any(axis=0)  # == is_terminal(children)
+    # canonicalize up/down (they come back transposed) so recursion and
+    # feature indices see the same boards as the cells path
+    aft = jnp.stack([
+        aft[0], engf.transpose_codes(aft[1]),
+        aft[2], engf.transpose_codes(aft[3]),
+    ])
+    child_vals = expectimax_value_codes(
+        value_fn,
+        aft.reshape(4 * b * width, 4),
+        k_rec,
+        depth - 1,
+        width,
+        since_empty,
+    ).reshape(4, b * width)
+    best = jnp.where(legal, child_vals, -jnp.inf).max(axis=0)
+    best = jnp.where(dead, -100.0, best)
+    best = jnp.maximum(best, 0.0).reshape(b, width)
+
+    num = jnp.maximum(valid.sum(axis=1), 1)
+    avg = jnp.where(valid, best, 0.0).sum(axis=1) / num
+    return jnp.where(empty >= since_empty, base, avg)
+
+
 def make_expectimax_estimator(
     value_fn: ValueFn, depth: int, width: int, since_empty: int,
-    max_leaves: int = 2_000_000,
+    max_leaves: int = 2_000_000, engine_mode: str = "codes",
 ):
     """Wrap a value function into a deeper expectimax estimator with
     the same (boards, key) -> values signature used by the eval driver.
@@ -109,6 +190,11 @@ def make_expectimax_estimator(
     """
 
     def tree(boards: jax.Array, key: jax.Array) -> jax.Array:
+        if engine_mode == "codes":
+            return expectimax_value_codes(
+                value_fn, engf.codes_from_boards(boards), key,
+                depth, width, since_empty,
+            )
         return expectimax_value(
             value_fn, boards, key, depth, width, since_empty
         )
