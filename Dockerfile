@@ -12,6 +12,7 @@ FROM python:3.12-slim
 WORKDIR /app
 COPY pyproject.toml ./
 COPY tpu2048 ./tpu2048
+COPY docs ./docs
 COPY bench.py ./
 
 RUN pip install --no-cache-dir "jax>=0.4.30" numpy
