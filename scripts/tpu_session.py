@@ -78,10 +78,22 @@ def run_bench(_store, _step):
     bench.main()
 
 
+def run_check(_store, _step):
+    """Index-exactness check on the live backend (see check_indices_tpu.py)."""
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check_indices_tpu
+
+    print("===== check: feature-index exactness =====", flush=True)
+    check_indices_tpu.main()
+
+
 def main():
     plan = json.load(open(sys.argv[1]))
     store = open_store("local", root="~/.tpu2048")
-    handlers = {"train": run_train, "eval": run_eval, "bench": run_bench}
+    handlers = {"train": run_train, "eval": run_eval, "bench": run_bench,
+                "check": run_check}
     for i, step in enumerate(plan):
         t0 = time.time()
         print(f"\n##### step {i}: {step.get('kind')} #####", flush=True)

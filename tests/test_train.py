@@ -257,3 +257,45 @@ def test_trial_per_game_progress_and_shuffle_stats():
                  logger=Logger(store=store, key="l/t2.txt", console=False))
     t2 = store.load("l/t2.txt")
     assert "(628 per move)" in t2, t2[-500:]
+
+
+def test_eval_segment_does_not_embed_weights_in_hlo():
+    """Weights must be a jit ARGUMENT of the eval segment, never a
+    closure constant: closed-over tables are inlined into the lowered
+    HLO, and the n=6 table (~0.4 GB) then breaks remote-compile
+    transports / bloats every executable.  Guard: the lowered text for
+    an n=3 segment (212,992-entry table) must stay small."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu2048.train.trial import _EvalState, _make_eval_segment
+
+    ts = ntuple.get_tuple_set(3)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
+    assert w.size > 200_000
+    num, cap, k = 4, 64, 4
+    st = _EvalState(
+        boards=engine.new_boards(num, jax.random.PRNGKey(1)),
+        score=jnp.zeros(num, jnp.int32),
+        odometer=jnp.zeros(num, jnp.int32),
+        active=jnp.ones(num, bool),
+        key=jax.random.PRNGKey(2),
+        moves=jnp.zeros((num, cap), jnp.int8),
+        spawns=jnp.zeros((num, cap), jnp.int8),
+    )
+    seg = _make_eval_segment(ts, SearchConfig(depth=0), num, cap, k, 0)
+    text = jax.jit(seg).lower(st, w).as_text()
+    # the table must enter as a parameter, not an inlined literal
+    wty = f"tensor<{w.size}xf32>"
+    assert wty in text
+    assert not any(
+        wty in ln and "constant" in ln for ln in text.splitlines()
+    ), "weight table inlined as an HLO constant"
+    # and the lowered size must not scale with the table: n=2's
+    # 6,144-entry table should lower to (nearly) the same text size
+    ts2 = ntuple.get_tuple_set(2)
+    w2 = ntuple.init_weights(ts2, jax.random.PRNGKey(0))
+    seg2 = _make_eval_segment(ts2, SearchConfig(depth=0), num, cap, k, 0)
+    text2 = jax.jit(seg2).lower(st, w2).as_text()
+    growth = len(text) - len(text2)
+    assert growth < 200_000, f"HLO grew {growth} bytes with table size"

@@ -46,7 +46,7 @@ class _EvalState(NamedTuple):
     spawns: jax.Array  # (N,S) int8
 
 
-def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
+def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
                        k: int, limit_tile: int, table_ops: str = "auto",
                        policy: str = "value"):
     from ..ops import dispatch as table_dispatch
@@ -60,16 +60,15 @@ def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
         table_ops = "gather"
     if policy == "value":
         eval_fn = table_dispatch.make_evaluator(ts, table_ops)
-
-        def value_fn(b):
-            return eval_fn(weights, b.reshape(b.shape[:-2] + (16,)))
-        estimator = make_expectimax_estimator(
-            value_fn, scfg.depth, scfg.width, scfg.since_empty
-        )
     elif policy not in ("random", "score"):
         raise ValueError(f"unknown policy: {policy}")
 
-    def step(st: _EvalState) -> _EvalState:
+    # ``weights`` is threaded through as a jit ARGUMENT, never a
+    # closure: a closed-over jax.Array lowers as an embedded HLO
+    # constant, and the n=6 table (12*14^6 f32 entries, ~0.4 GB)
+    # inside the compile payload breaks remote-compile transports and
+    # bloats executable size for every geometry.
+    def step(st: _EvalState, weights) -> _EvalState:
         key, k_est, k_spawn = jax.random.split(st.key, 3)
         aft, delta, legal = engine.afterstates(st.boards)
         if policy == "random":
@@ -80,6 +79,12 @@ def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
             # score_eval (game_logic.py:9-10): greedy on immediate reward
             vals = delta.astype(jnp.float32)
         else:
+            def value_fn(b):
+                return eval_fn(weights, b.reshape(b.shape[:-2] + (16,)))
+
+            estimator = make_expectimax_estimator(
+                value_fn, scfg.depth, scfg.width, scfg.since_empty
+            )
             vals = estimator(aft.reshape(4 * n, 4, 4), k_est).reshape(4, n)
         masked = jnp.where(legal, vals, -jnp.inf)
         best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
@@ -106,9 +111,9 @@ def _make_eval_segment(ts, weights, scfg: SearchConfig, n: int, s_cap: int,
             active = active & (engine.max_tile(boards) < limit_tile)
         return _EvalState(boards, score, odometer, active, key, moves, spawns)
 
-    def segment(st: _EvalState) -> _EvalState:
+    def segment(st: _EvalState, weights) -> _EvalState:
         def body(s, _):
-            return step(s), None
+            return step(s, weights), None
 
         out, _ = jax.lax.scan(body, st, None, length=k)
         return out
@@ -158,9 +163,11 @@ def trial(
         spawns=jnp.zeros((num, step_cap), jnp.int8),
     )
     starts = np.asarray(st.boards, np.int8)
+    if weights is None:
+        weights = jnp.zeros((0,), jnp.float32)  # baselines ignore it
     seg = jax.jit(
         _make_eval_segment(
-            ts, weights, scfg, num, step_cap, steps_per_call, limit_tile,
+            ts, scfg, num, step_cap, steps_per_call, limit_tile,
             policy=policy,
         ),
         donate_argnums=0,
@@ -170,7 +177,7 @@ def trial(
     while True:
         if stop_cb is not None and stop_cb():
             break
-        st = seg(st)
+        st = seg(st, weights)
         active_np = np.asarray(st.active)
         n_active = int(active_np.sum())
         # per-game completion log, the reference's live trial progress
