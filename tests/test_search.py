@@ -218,3 +218,102 @@ def test_codes_expectimax_matches_cells_exactly():
         vc = np.asarray(cells_est(boards, key))
         vk = np.asarray(codes_est(boards, key))
         np.testing.assert_array_equal(vc, vk)
+
+
+def _rand_boards(key, b, crowd=False):
+    """Random boards; crowd=True leaves < 6 empties per board."""
+    bb = np.asarray(
+        jax.random.randint(key, (b, 16), 1, 11, dtype=jnp.int8)
+    ).copy()
+    if not crowd:
+        bb[:, ::2] = 0  # 8 empties -> comfortable (since_empty=6)
+    else:
+        bb[:, :3] = 0  # exactly 3 empties -> crowded
+    return jnp.asarray(bb.reshape(b, 4, 4))
+
+
+def test_compacted_all_comfortable_equals_base():
+    """If nothing needs search, the compacted estimator returns the
+    raw base values bitwise (the reference's pruning semantics)."""
+    from tpu2048.search.expectimax import make_compacted_estimator
+
+    ts = ntuple.get_tuple_set(2)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
+
+    def value_fn(b):
+        return ntuple.evaluate(ts, w, b.reshape(b.shape[:-2] + (16,)))
+
+    boards = _rand_boards(jax.random.PRNGKey(1), 24)
+    need = jnp.zeros(24, bool)
+    est = make_compacted_estimator(value_fn, 3, 4, 6, batch=24,
+                                   tiers=(8, 16))
+    # bitwise claims hold op-by-op (eager); jit may re-fuse the
+    # f32 reductions, so assert exactness eagerly and only
+    # shape/finite-ness under jit
+    out = est(boards, jax.random.PRNGKey(2), need)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(value_fn(boards)))
+    jout = jax.jit(est)(boards, jax.random.PRNGKey(2), need)
+    assert jout.shape == (24,) and bool(jnp.isfinite(jout).all())
+
+
+def test_compacted_tier_matches_sub_batch_estimator():
+    """Searched roots get bitwise the values of the plain estimator
+    run on the top-k-compacted sub-batch with the same key."""
+    from tpu2048.search.expectimax import make_compacted_estimator
+
+    ts = ntuple.get_tuple_set(2)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
+
+    def value_fn(b):
+        return ntuple.evaluate(ts, w, b.reshape(b.shape[:-2] + (16,)))
+
+    b = 24
+    comfortable = _rand_boards(jax.random.PRNGKey(1), b)
+    crowded = _rand_boards(jax.random.PRNGKey(3), b, crowd=True)
+    need = jnp.asarray(np.arange(b) % 4 == 1)  # 6 of 24 need search
+    boards = jnp.where(need[:, None, None], crowded, comfortable)
+    key = jax.random.PRNGKey(5)
+
+    est = make_compacted_estimator(value_fn, 2, 3, 6, batch=b,
+                                   tiers=(8, 16))
+    out = np.asarray(est(boards, key, need))
+
+    # reproduce the tier-8 compaction independently
+    _, idx = jax.lax.top_k(need.astype(jnp.int32), 8)
+    plain = make_expectimax_estimator(value_fn, 2, 3, 6)
+    sub = np.asarray(plain(boards[idx], key))
+    base = np.asarray(value_fn(boards))
+    idx = np.asarray(idx)
+    need_np = np.asarray(need)
+    for slot, i in enumerate(idx):
+        if need_np[i]:
+            # same algorithm + same RNG draws; tolerance covers f32
+            # re-fusion differences between compiled cond branches
+            np.testing.assert_allclose(out[i], sub[slot], rtol=1e-5)
+    np.testing.assert_allclose(out[~need_np], base[~need_np], rtol=1e-6)
+
+
+def test_compacted_overflow_falls_back_to_full():
+    """More needy roots than any tier -> full-batch tree, with base
+    values still returned for the un-needy lanes."""
+    from tpu2048.search.expectimax import make_compacted_estimator
+
+    ts = ntuple.get_tuple_set(2)
+    w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
+
+    def value_fn(b):
+        return ntuple.evaluate(ts, w, b.reshape(b.shape[:-2] + (16,)))
+
+    b = 12
+    boards = _rand_boards(jax.random.PRNGKey(7), b, crowd=True)
+    need = jnp.ones(b, bool).at[0].set(False)
+    key = jax.random.PRNGKey(9)
+    est = make_compacted_estimator(value_fn, 2, 3, 6, batch=b,
+                                   tiers=(4,))
+    out = np.asarray(est(boards, key, need))
+    plain = make_expectimax_estimator(value_fn, 2, 3, 6)
+    full = np.asarray(plain(boards, key))
+    base = np.asarray(value_fn(boards))
+    np.testing.assert_allclose(out[1:], full[1:], rtol=1e-5)
+    np.testing.assert_allclose(out[0], base[0], rtol=1e-6)

@@ -222,3 +222,71 @@ def make_expectimax_estimator(
         return vals.reshape(padded)[:b]
 
     return estimator
+
+
+def make_compacted_estimator(
+    value_fn: ValueFn, depth: int, width: int, since_empty: int,
+    batch: int, tiers=(64, 256), **kwargs,
+):
+    """Root-compacted expectimax: only boards that actually NEED the
+    tree enter it.
+
+    The reference's ``since_empty`` pruning (``game_logic.py:218-219``)
+    means a comfortable board's search value IS its base estimate — in
+    a lockstep batch most roots are comfortable early-game and most
+    lanes belong to already-finished games late-game, yet the fixed-
+    shape tree pays for all of them every step.  This wrapper computes
+    the base estimate for the whole batch, counts the roots the caller
+    marks as needing search, and dispatches via ``lax.cond`` to the
+    smallest compiled tree tier (top-k compaction + scatter-back) that
+    fits them.  Searched roots get the values of
+    ``make_expectimax_estimator`` run on the compacted sub-batch with
+    the same key (same algorithm and RNG draws; equal up to compiler
+    re-fusion of f32 reductions); semantics match the reference
+    exactly because un-searched roots return the base estimate by
+    definition.
+
+    Signature: ``estimator(boards (B,4,4), key, need (B,) bool)``.
+    """
+    if depth == 0:
+        def est0(boards, key, need):
+            del key, need
+            return value_fn(boards)
+
+        return est0
+
+    est = make_expectimax_estimator(
+        value_fn, depth, width, since_empty, **kwargs
+    )
+    sizes = sorted({t for t in tiers if t < batch}) + [batch]
+
+    def estimator(boards: jax.Array, key: jax.Array,
+                  need: jax.Array) -> jax.Array:
+        base = value_fn(boards)
+        c = need.sum()
+
+        def tier_fn(k):
+            def run(_):
+                _, idx = jax.lax.top_k(need.astype(jnp.int32), k)
+                tv = est(boards[idx], key)
+                out = base.at[idx].set(
+                    jnp.where(need[idx], tv, base[idx])
+                )
+                return out
+
+            return run
+
+        def full(_):
+            tv = est(boards, key)
+            return jnp.where(need, tv, base)
+
+        out = full
+        for k in reversed(sizes[:-1]):
+            nxt = out
+
+            def out(op, k=k, nxt=nxt):
+                return jax.lax.cond(c <= k, tier_fn(k), nxt, op)
+
+        return out(None)
+
+    return estimator

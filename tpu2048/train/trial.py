@@ -23,7 +23,7 @@ from ..config import SearchConfig
 from ..engine import core as engine
 from ..features import ntuple
 from ..obs.logging import Logger
-from ..search.expectimax import make_expectimax_estimator
+from ..search.expectimax import make_compacted_estimator
 
 
 class TrialResult(NamedTuple):
@@ -82,10 +82,31 @@ def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
             def value_fn(b):
                 return eval_fn(weights, b.reshape(b.shape[:-2] + (16,)))
 
-            estimator = make_expectimax_estimator(
-                value_fn, scfg.depth, scfg.width, scfg.since_empty
-            )
-            vals = estimator(aft.reshape(4 * n, 4, 4), k_est).reshape(4, n)
+            if scfg.depth == 0:
+                vals = value_fn(aft)  # (4, N)
+            else:
+                # root compaction: only legal afterstates of still-
+                # active games that are crowded enough to search
+                # (empty < since_empty) enter the tree; everything
+                # else takes its base estimate, which is exactly what
+                # the reference's pruning returns for them anyway.
+                flat_aft = aft.reshape(4 * n, 4, 4)
+                empty_cnt = (flat_aft.reshape(4 * n, 16) == 0).sum(
+                    axis=1
+                )
+                act = jnp.broadcast_to(
+                    st.active[None, :], (4, n)
+                ).reshape(4 * n)
+                need = (
+                    legal.reshape(4 * n)
+                    & act
+                    & (empty_cnt < scfg.since_empty)
+                )
+                estimator = make_compacted_estimator(
+                    value_fn, scfg.depth, scfg.width, scfg.since_empty,
+                    batch=4 * n,
+                )
+                vals = estimator(flat_aft, k_est, need).reshape(4, n)
         masked = jnp.where(legal, vals, -jnp.inf)
         best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
         ar = jnp.arange(n)
