@@ -12,12 +12,14 @@ from tpu2048.engine import core as eng
 from tpu2048.features import ntuple
 
 
-def test_tc_update_numerics():
+@pytest.mark.parametrize("impl", ["index", "fold"])
+def test_tc_update_numerics(impl):
     """One train step in TC mode == scalar TC math on the aggregated
-    per-entry deltas."""
+    per-entry deltas, for both scatter implementations."""
     ts = ntuple.get_tuple_set(2)
     acfg = AgentConfig(n=2, optimizer="tc", alpha=1.0,
-                       sym_mode="scatter", engine_mode="cells")
+                       sym_mode="scatter", sym_impl=impl,
+                       engine_mode="cells")
     tcfg = TrainConfig(num_envs=8, steps_per_call=1, ring_size=64,
                        record_envs=2, max_record_steps=64, seed=0)
     rng = np.random.default_rng(0)
@@ -31,6 +33,13 @@ def test_tc_update_numerics():
     prev_idx = np.asarray(
         ntuple.all_symmetry_indices(ts, jnp.asarray(prev_flat))
     )
+    if impl == "index":
+        prev_idx_state = prev_idx  # (8, 8, F)
+    else:  # fold: identity indices only; the 8-image mass arrives
+        # through the dense D4 table transforms
+        prev_idx_state = np.asarray(
+            ntuple.feature_indices(ts, jnp.asarray(prev_flat))
+        )[:, None, :]
     prev_value = rng.random(8).astype(np.float32) * 10
     prev_valid = rng.random(8) < 0.8
     state = state._replace(
@@ -41,7 +50,7 @@ def test_tc_update_numerics():
             score=jnp.zeros(8, jnp.int32),
             odometer=jnp.full(8, 3, jnp.int32),
         ),
-        prev_idx=jnp.asarray(prev_idx),
+        prev_idx=jnp.asarray(prev_idx_state),
         prev_value=jnp.asarray(prev_value),
         prev_valid=jnp.asarray(prev_valid),
     )

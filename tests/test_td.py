@@ -72,10 +72,15 @@ def scalar_reference_update(ts, w, boards, prev_idx, prev_value, prev_valid,
 
 
 @pytest.mark.parametrize("mode", ["sum", "mean"])
-def test_train_step_update_numerics(rng, mode):
+@pytest.mark.parametrize("impl", ["index", "fold"])
+def test_train_step_update_numerics(rng, mode, impl):
+    """Both scatter implementations — explicit 8-image indices and
+    identity-scatter + dense D4 fold — must match the same scalar
+    re-derivation of the reference's 8-image update."""
     ts = ntuple.get_tuple_set(2)
     acfg = AgentConfig(n=2, update_mode=mode, sym_mode="scatter",
-                       engine_mode="cells", optimizer="sgd", alpha=0.25)
+                       sym_impl=impl, engine_mode="cells",
+                       optimizer="sgd", alpha=0.25)
     tcfg = TrainConfig(
         num_envs=16, steps_per_call=1, ring_size=64, record_envs=4,
         max_record_steps=256, seed=0,
@@ -89,6 +94,12 @@ def test_train_step_update_numerics(rng, mode):
     prev_idx = np.asarray(
         ntuple.all_symmetry_indices(ts, jnp.asarray(prev_flat))
     )
+    if impl == "index":
+        prev_idx_state = prev_idx  # (16, 8, F)
+    else:  # fold: the step carries identity indices only
+        prev_idx_state = np.asarray(
+            ntuple.feature_indices(ts, jnp.asarray(prev_flat))
+        )[:, None, :]
     prev_value = rng.random(16).astype(np.float32) * 10
     prev_valid = rng.random(16) < 0.8
     state = state._replace(
@@ -97,12 +108,13 @@ def test_train_step_update_numerics(rng, mode):
             score=jnp.zeros(16, jnp.int32),
             odometer=jnp.full(16, 3, jnp.int32),
         ),
-        prev_idx=jnp.asarray(prev_idx),
+        prev_idx=jnp.asarray(prev_idx_state),
         prev_value=jnp.asarray(prev_value),
         prev_valid=jnp.asarray(prev_valid),
     )
     step = jax.jit(td.make_train_step(ts, acfg, tcfg))
     out = step(state)
+    # the scalar oracle always applies the full 8-image contribution set
     expect = scalar_reference_update(
         ts, np.asarray(state.weights), boards, prev_idx, prev_value,
         prev_valid, float(state.alpha), mode,
@@ -112,7 +124,8 @@ def test_train_step_update_numerics(rng, mode):
 
 def test_terminal_env_resets_and_counts():
     ts = ntuple.get_tuple_set(2)
-    acfg = AgentConfig(n=2, sym_mode="scatter", engine_mode="cells")
+    acfg = AgentConfig(n=2, sym_mode="scatter", sym_impl="index",
+                       engine_mode="cells")
     tcfg = TrainConfig(
         num_envs=4, steps_per_call=1, ring_size=64, record_envs=2,
         max_record_steps=64, seed=0,

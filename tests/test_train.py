@@ -256,7 +256,9 @@ def test_trial_per_game_progress_and_shuffle_stats():
                  search=SearchConfig(depth=2, width=3, since_empty=6),
                  logger=Logger(store=store, key="l/t2.txt", console=False))
     t2 = store.load("l/t2.txt")
-    assert "(628 per move)" in t2, t2[-500:]
+    # counted over the full fixed-shape tree — labeled an upper bound
+    # because root compaction skips the tree for most moves
+    assert "(628 per move, upper bound" in t2, t2[-500:]
 
 
 def test_eval_segment_does_not_embed_weights_in_hlo():
@@ -273,9 +275,11 @@ def test_eval_segment_does_not_embed_weights_in_hlo():
     ts = ntuple.get_tuple_set(3)
     w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
     assert w.size > 200_000
+    from tpu2048.engine import fast as engf
+
     num, cap, k = 4, 64, 4
     st = _EvalState(
-        boards=engine.new_boards(num, jax.random.PRNGKey(1)),
+        codes=engf.new_codes(num, jax.random.PRNGKey(1)),
         score=jnp.zeros(num, jnp.int32),
         odometer=jnp.zeros(num, jnp.int32),
         active=jnp.ones(num, bool),

@@ -73,9 +73,13 @@ class Recorder(NamedTuple):
 
 
 def _num_sym(acfg: AgentConfig) -> int:
-    """Width of the per-step scatter index block: 8 board images in
-    "scatter" mode, identity only in "periodic"/"none" modes."""
-    return 8 if acfg.sym_mode == "scatter" else 1
+    """Width of the per-step scatter index block: 8 board images only
+    for the explicit-index "scatter" implementation; identity for the
+    dense-fold implementation and the "periodic"/"none" modes (the 8x
+    coupling arrives through table transforms instead of indices)."""
+    if acfg.sym_mode == "scatter" and acfg.sym_impl == "index":
+        return 8
+    return 1
 
 
 class TDState(NamedTuple):
@@ -222,11 +226,25 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         ts, table_dispatch.make_evaluator(ts, acfg.table_ops)
     )
     tc_mode = acfg.optimizer == "tc"
-    if tc_mode:
+    # per-step dense symmetrization: scatter identity features into a
+    # full-table (dsum, hits) pair and add its 7 D4 table transforms —
+    # the same per-move update mass as the explicit 8-image scatter
+    # (see features/symmetry.py), minus the 8x latency-bound scatter
+    # traffic that dominates the 16^5/14^6 gather-path tables.
+    fold_step = acfg.sym_mode == "scatter" and acfg.sym_impl == "fold"
+    if fold_step:
+        from ..features.symmetry import fold_other_symmetries
+
+        def fold_pair(dsum, hits):
+            both = jnp.stack([dsum, hits])
+            both = both + fold_other_symmetries(ts, both)
+            return both[0], both[1]
+
+    if tc_mode or fold_step:
         accumulate = table_dispatch.make_delta_accumulator(
             ts, acfg.table_ops
         )
-    else:
+    if not tc_mode and not fold_step:
         update = table_dispatch.make_updater(
             ts, acfg.table_ops, mean=(acfg.update_mode == "mean")
         )
@@ -300,6 +318,8 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
                 jnp.broadcast_to(delta[:, None], (n, num_sym)).reshape(-1),
                 valid_flat,
             )
+            if fold_step:
+                dsum, hits = fold_pair(dsum, hits)
             dbar = dsum / jnp.maximum(hits, 1.0)
             lr = jnp.where(
                 state.opt_a > 0.0,
@@ -313,12 +333,24 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             dw = jnp.where(state.prev_valid, td_err, 0.0) * (
                 state.alpha / jnp.float32(num_feat)
             )
-            weights = update(
-                state.weights,
-                idx_flat,
-                jnp.broadcast_to(dw[:, None], (n, num_sym)).reshape(-1),
-                valid_flat,
-            )
+            dw_flat = jnp.broadcast_to(dw[:, None], (n, num_sym)).reshape(-1)
+            if fold_step:
+                dsum, hits = accumulate(
+                    state.weights, idx_flat, dw_flat, valid_flat
+                )
+                if acfg.update_mode == "mean":
+                    dsum, hits = fold_pair(dsum, hits)
+                    weights = state.weights + dsum / jnp.maximum(hits, 1.0)
+                else:
+                    from ..features.symmetry import fold_other_symmetries
+
+                    weights = state.weights + dsum + fold_other_symmetries(
+                        ts, dsum
+                    )
+            else:
+                weights = update(
+                    state.weights, idx_flat, dw_flat, valid_flat
+                )
             opt_e, opt_a = state.opt_e, state.opt_a
 
         # --- advance the environments -----------------------------------
@@ -427,7 +459,7 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         overflow = jnp.where(done[:r_env], False, overflow)
 
         # --- next-step bootstrap state -----------------------------------
-        if acfg.sym_mode == "scatter":
+        if num_sym == 8:
             sym_idx = ntuple.all_symmetry_indices(ts, chosen_cells)
         else:
             sym_idx = ntuple.feature_indices(ts, chosen_cells)[

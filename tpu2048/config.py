@@ -54,6 +54,18 @@ class AgentConfig:
     #   highest sample efficiency per QUALITY.md — the default.
     # "none": no symmetry coupling at all (ablation).
     sym_mode: str = "scatter"
+    # How "scatter" (per-move 8-image) updates are realized:
+    # "fold": scatter IDENTITY features into a dense per-step delta and
+    #   add its 7 non-identity D4 table transforms (reshape+transpose
+    #   copies at HBM bandwidth) — the same per-move totals as the
+    #   8-image scatter (f32 summation order aside), at 1/8th the index
+    #   traffic.  This is what makes the 16^5/14^6 tables (which have no
+    #   MXU decomposition and ride latency-bound XLA gather/scatter)
+    #   trainable fast.  The default.
+    # "index": explicit (N, 8, F) symmetry-image indices, the reference's
+    #   literal per-move scatter order (kept for sequential-equivalence
+    #   tests and bitwise reproduction of round-2 runs).
+    sym_impl: str = "fold"
     # How weight-table lookups/updates hit the hardware (identical
     # numerics up to ~2^-18 rounding, see tpu2048/ops/dispatch.py):
     # "auto": fused Pallas kernels on TPU, gather elsewhere;

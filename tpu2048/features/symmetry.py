@@ -69,6 +69,10 @@ def fold_other_symmetries(ts: TupleSet, delta: jax.Array) -> jax.Array:
 
     ``w + delta + fold_other_symmetries(ts, delta)`` equals applying the
     reference's 8-image update with accumulated identity delta.
+
+    ``delta`` may carry leading batch dimensions ``(..., total)`` — the
+    transform bank applies to each slice independently (used to fold a
+    stacked [dsum; hits] pair in one pass on the per-step hot path).
     """
     transforms = build_sym_transforms(ts.n)
     offsets = [int(o) for o in ts.offsets]
@@ -85,17 +89,21 @@ def fold_other_symmetries(ts: TupleSet, delta: jax.Array) -> jax.Array:
             k += 1
         ks.append(k)
     # per-target accumulation, then one concat (offsets are contiguous
-    # ascending by construction, so concat reassembles the flat table)
+    # ascending by construction, so concat reassembles the flat table).
+    # Digit permutations run through the streaming-pass planner
+    # (ops/digit_perm.py) — naive rank-5/6 transposes with 14/16-wide
+    # dims are ~30x off HBM bandwidth on TPU and would dominate the
+    # per-step fold.
+    from ..ops.digit_perm import digit_transpose
+
     pieces = [[] for _ in sizes]
     for maps in transforms:
         for ft, fs, perm in maps:
             b, k = bases[fs], ks[fs]
-            src = delta[offsets[fs]: offsets[fs] + sizes[fs]]
-            pieces[ft].append(
-                jnp.transpose(src.reshape((b,) * k), axes=perm).reshape(-1)
-            )
+            src = delta[..., offsets[fs]: offsets[fs] + sizes[fs]]
+            pieces[ft].append(digit_transpose(src, b, k, perm))
     return jnp.concatenate(
-        [sum(p[1:], p[0]) for p in pieces]
+        [sum(p[1:], p[0]) for p in pieces], axis=-1
     )
 
 

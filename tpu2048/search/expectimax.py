@@ -179,44 +179,58 @@ def expectimax_value_codes(
 def make_expectimax_estimator(
     value_fn: ValueFn, depth: int, width: int, since_empty: int,
     max_leaves: int = 2_000_000, engine_mode: str = "codes",
+    input_rep: str = "cells",
 ):
     """Wrap a value function into a deeper expectimax estimator with
-    the same (boards, key) -> values signature used by the eval driver.
+    the same (roots, key) -> values signature used by the eval driver.
+
+    ``input_rep`` selects the root representation: "cells" takes
+    (B, 4, 4) boards; "codes" takes (B, 4) packed row codes directly
+    (no conversion — the codes-engine eval driver's native form).
 
     The tree for B root boards materializes B * (4 * width)^depth leaf
     boards at once; to bound peak device memory the root batch is
     chunked with ``lax.map`` so no invocation exceeds ~``max_leaves``
     leaves (each chunk still runs the whole unrolled tree on device).
     """
+    codes_in = input_rep == "codes"
+    tail = (4,) if codes_in else (4, 4)
 
-    def tree(boards: jax.Array, key: jax.Array) -> jax.Array:
+    def base_value(roots: jax.Array) -> jax.Array:
+        if codes_in:
+            cells = engf.cells_from_codes(roots)
+            return value_fn(cells.reshape(cells.shape[:-1] + (4, 4)))
+        return value_fn(roots)
+
+    def tree(roots: jax.Array, key: jax.Array) -> jax.Array:
         if engine_mode == "codes":
+            codes = roots if codes_in else engf.codes_from_boards(roots)
             return expectimax_value_codes(
-                value_fn, engf.codes_from_boards(boards), key,
-                depth, width, since_empty,
+                value_fn, codes, key, depth, width, since_empty,
             )
+        assert not codes_in, "cells engine cannot take code roots"
         return expectimax_value(
-            value_fn, boards, key, depth, width, since_empty
+            value_fn, roots, key, depth, width, since_empty
         )
 
-    def estimator(boards: jax.Array, key: jax.Array) -> jax.Array:
+    def estimator(roots: jax.Array, key: jax.Array) -> jax.Array:
         if depth == 0:
-            return value_fn(boards)
-        b = boards.shape[0]
+            return base_value(roots)
+        b = roots.shape[0]
         leaves_per_root = (4 * width) ** depth
         per_chunk = max(1, max_leaves // leaves_per_root)
         if b <= per_chunk:
-            return tree(boards, key)
+            return tree(roots, key)
         # hard memory bound for ANY batch size: pad the root batch up
         # to a chunkable multiple (empty pad boards are cheap to score
         # and discarded), so odd batches can't silently blow the bound
         chunks = -(-b // per_chunk)
         padded = chunks * per_chunk
         if padded != b:
-            boards = jnp.concatenate(
-                [boards, jnp.zeros((padded - b, 4, 4), boards.dtype)]
+            roots = jnp.concatenate(
+                [roots, jnp.zeros((padded - b,) + tail, roots.dtype)]
             )
-        chunked = boards.reshape(chunks, per_chunk, 4, 4)
+        chunked = roots.reshape((chunks, per_chunk) + tail)
         keys = jax.random.split(key, chunks)
         vals = jax.lax.map(lambda a: tree(a[0], a[1]), (chunked, keys))
         return vals.reshape(padded)[:b]
@@ -224,9 +238,23 @@ def make_expectimax_estimator(
     return estimator
 
 
+def default_tiers(batch: int) -> tuple:
+    """Geometric compaction ladder for a root batch: 64, 256, 1024, …
+    below ``batch``.  Each tier compiles its own tree executable, so
+    the ladder is kept logarithmic in the batch size instead of the
+    former fixed (64, 256) pair that left a 257-root step paying the
+    full-batch tree (and outsized executables) at large evals."""
+    tiers = []
+    t = 64
+    while t < batch:
+        tiers.append(t)
+        t *= 4
+    return tuple(tiers)
+
+
 def make_compacted_estimator(
     value_fn: ValueFn, depth: int, width: int, since_empty: int,
-    batch: int, tiers=(64, 256), **kwargs,
+    batch: int, tiers=None, input_rep: str = "cells", **kwargs,
 ):
     """Root-compacted expectimax: only boards that actually NEED the
     tree enter it.
@@ -246,23 +274,35 @@ def make_compacted_estimator(
     exactly because un-searched roots return the base estimate by
     definition.
 
-    Signature: ``estimator(boards (B,4,4), key, need (B,) bool)``.
+    Signature: ``estimator(roots, key, need (B,) bool)`` where roots
+    are (B, 4, 4) boards or, with ``input_rep="codes"``, (B, 4) codes.
     """
+    codes_in = input_rep == "codes"
+
+    def base_fn(roots):
+        if codes_in:
+            cells = engf.cells_from_codes(roots)
+            return value_fn(cells.reshape(cells.shape[:-1] + (4, 4)))
+        return value_fn(roots)
+
     if depth == 0:
-        def est0(boards, key, need):
+        def est0(roots, key, need):
             del key, need
-            return value_fn(boards)
+            return base_fn(roots)
 
         return est0
 
     est = make_expectimax_estimator(
-        value_fn, depth, width, since_empty, **kwargs
+        value_fn, depth, width, since_empty, input_rep=input_rep,
+        **kwargs
     )
+    if tiers is None:
+        tiers = default_tiers(batch)
     sizes = sorted({t for t in tiers if t < batch}) + [batch]
 
     def estimator(boards: jax.Array, key: jax.Array,
                   need: jax.Array) -> jax.Array:
-        base = value_fn(boards)
+        base = base_fn(boards)
         c = need.sum()
 
         def tier_fn(k):

@@ -37,7 +37,7 @@ class TrialResult(NamedTuple):
 
 
 class _EvalState(NamedTuple):
-    boards: jax.Array
+    codes: jax.Array  # (N, 4) int32 packed row codes
     score: jax.Array
     odometer: jax.Array
     active: jax.Array
@@ -46,9 +46,18 @@ class _EvalState(NamedTuple):
     spawns: jax.Array  # (N,S) int8
 
 
+# transposed-cell -> canonical-cell permutation (see agent/td.py)
+_TPERM = np.arange(16).reshape(4, 4).T.reshape(16)
+
+
 def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
                        k: int, limit_tile: int, table_ops: str = "auto",
                        policy: str = "value"):
+    """Eval step on the packed row-code engine (``engine/fast.py``):
+    8 sliced LUT gathers resolve the full 4-direction expansion with
+    scores and legality, no rot90 relayouts — the same representation
+    as the training hot path (~2x the cells-engine throughput)."""
+    from ..engine import fast as engf
     from ..ops import dispatch as table_dispatch
 
     if table_ops == "auto" and scfg.depth > 0:
@@ -62,6 +71,7 @@ def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
         eval_fn = table_dispatch.make_evaluator(ts, table_ops)
     elif policy not in ("random", "score"):
         raise ValueError(f"unknown policy: {policy}")
+    tperm = jnp.asarray(_TPERM)
 
     # ``weights`` is threaded through as a jit ARGUMENT, never a
     # closure: a closed-over jax.Array lowers as an embedded HLO
@@ -70,7 +80,14 @@ def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
     # bloats executable size for every geometry.
     def step(st: _EvalState, weights) -> _EvalState:
         key, k_est, k_spawn = jax.random.split(st.key, 3)
-        aft, delta, legal = engine.afterstates(st.boards)
+        aft, delta, legal, _t = engf.afterstates_full(st.codes)
+        # canonical cells for all 4 afterstates (up/down come back
+        # transposed; a cell permutation restores canonical order)
+        cells4 = engf.cells_from_codes(aft)  # (4, N, 16)
+        cells4 = jnp.stack(
+            [cells4[0], cells4[1][..., tperm],
+             cells4[2], cells4[3][..., tperm]]
+        )
         if policy == "random":
             # the reference's random_eval baseline (game_logic.py:5-6):
             # a uniform value per candidate move
@@ -83,17 +100,18 @@ def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
                 return eval_fn(weights, b.reshape(b.shape[:-2] + (16,)))
 
             if scfg.depth == 0:
-                vals = value_fn(aft)  # (4, N)
+                vals = eval_fn(weights, cells4)  # (4, N)
             else:
                 # root compaction: only legal afterstates of still-
                 # active games that are crowded enough to search
                 # (empty < since_empty) enter the tree; everything
                 # else takes its base estimate, which is exactly what
                 # the reference's pruning returns for them anyway.
-                flat_aft = aft.reshape(4 * n, 4, 4)
-                empty_cnt = (flat_aft.reshape(4 * n, 16) == 0).sum(
-                    axis=1
-                )
+                aftc = jnp.stack([
+                    aft[0], engf.transpose_codes(aft[1]),
+                    aft[2], engf.transpose_codes(aft[3]),
+                ]).reshape(4 * n, 4)  # canonical codes
+                empty_cnt = (cells4.reshape(4 * n, 16) == 0).sum(axis=1)
                 act = jnp.broadcast_to(
                     st.active[None, :], (4, n)
                 ).reshape(4 * n)
@@ -104,19 +122,19 @@ def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
                 )
                 estimator = make_compacted_estimator(
                     value_fn, scfg.depth, scfg.width, scfg.since_empty,
-                    batch=4 * n,
+                    batch=4 * n, input_rep="codes",
                 )
-                vals = estimator(flat_aft, k_est, need).reshape(4, n)
+                vals = estimator(aftc, k_est, need).reshape(4, n)
         masked = jnp.where(legal, vals, -jnp.inf)
         best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
         ar = jnp.arange(n)
-        chosen = aft[best_dir, ar]
+        chosen = engf.canonicalize_chosen(aft[best_dir, ar], best_dir)
         best_delta = delta[best_dir, ar]
         done = ~legal.any(axis=0)
         stepping = st.active & ~done
-        moved = jnp.where(stepping[:, None, None], chosen, st.boards)
-        spawned, pos, val = engine.spawn(moved, k_spawn)
-        boards = jnp.where(stepping[:, None, None], spawned, st.boards)
+        moved = jnp.where(stepping[:, None], chosen, st.codes)
+        spawned, pos, val = engf.spawn_codes(moved, k_spawn)
+        codes = jnp.where(stepping[:, None], spawned, st.codes)
         slot = jnp.minimum(st.odometer, s_cap - 1)
         mcur = st.moves[ar, slot]
         scur = st.spawns[ar, slot]
@@ -129,8 +147,8 @@ def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
         odometer = jnp.where(stepping, st.odometer + 1, st.odometer)
         active = st.active & ~done
         if limit_tile:
-            active = active & (engine.max_tile(boards) < limit_tile)
-        return _EvalState(boards, score, odometer, active, key, moves, spawns)
+            active = active & (engf.max_tile_codes(codes) < limit_tile)
+        return _EvalState(codes, score, odometer, active, key, moves, spawns)
 
     def segment(st: _EvalState, weights) -> _EvalState:
         def body(s, _):
@@ -168,14 +186,17 @@ def trial(
     log = logger or Logger(console=False)
     key = jax.random.PRNGKey(seed)
     k_init, key = jax.random.split(key)
+    from ..engine import fast as engf
+
     if game_init is not None:
-        boards = jnp.broadcast_to(
-            jnp.asarray(game_init, jnp.int8), (num, 4, 4)
+        codes = jnp.broadcast_to(
+            engf.codes_from_boards(jnp.asarray(game_init, jnp.int8)),
+            (num, 4),
         )
     else:
-        boards = engine.new_boards(num, k_init)
+        codes = engf.new_codes(num, k_init)  # same draws as new_boards
     st = _EvalState(
-        boards=boards,
+        codes=codes,
         score=jnp.zeros(num, jnp.int32),
         odometer=jnp.zeros(num, jnp.int32),
         active=jnp.ones(num, bool),
@@ -183,7 +204,7 @@ def trial(
         moves=jnp.zeros((num, step_cap), jnp.int8),
         spawns=jnp.zeros((num, step_cap), jnp.int8),
     )
-    starts = np.asarray(st.boards, np.int8)
+    starts = np.asarray(engf.boards_from_codes(st.codes), np.int8)
     if weights is None:
         weights = jnp.zeros((0,), jnp.float32)  # baselines ignore it
     seg = jax.jit(
@@ -230,9 +251,9 @@ def trial(
     elapsed = time.time() - t0
 
     scores = np.asarray(st.score)
-    tiles = np.asarray(engine.max_tile(st.boards))
+    tiles = np.asarray(engf.max_tile_codes(st.codes))
     odos = np.asarray(st.odometer)
-    finals = np.asarray(st.boards)
+    finals = np.asarray(engf.boards_from_codes(st.codes))
     order = np.argsort(-scores)
 
     def share(exp: int) -> float:
@@ -251,8 +272,11 @@ def trial(
     # (``r_learning.py:396-398`` / ``game_logic.py:52,137``): one
     # shuffle = one row-LUT move resolution (pre_move equivalent).
     # Each move resolves the 4 root afterstates, and with search each
-    # chance child resolves 4 more at every level — exact for this
-    # implementation since pruned subtrees still execute (masked).
+    # chance child resolves 4 more at every level.  This counts the
+    # FULL fixed-shape tree and is therefore an UPPER BOUND on executed
+    # work: root compaction dispatches only the roots that need search
+    # into the tree, so most moves skip it entirely (the report labels
+    # the figures accordingly).
     expand = 0  # pre_move-equivalents per searched board
     for _ in range(scfg.depth):
         expand = scfg.width * (4 + 4 * expand)
@@ -270,9 +294,12 @@ def trial(
         f"{round(elapsed / max(total_moves, 1) * 1000, 3)} ms",
         f"total env-moves = {total_moves}",
         f"total shuffles = {total_shuffles} "
-        f"({shuffles_per_move} per move)",
+        f"({shuffles_per_move} per move"
+        + (", upper bound: compacted roots skip the tree)"
+           if scfg.depth > 0 else ")"),
         f"average time per shuffle = "
-        f"{round(elapsed / max(total_shuffles, 1) * 1000, 4)} ms",
+        f"{round(elapsed / max(total_shuffles, 1) * 1000, 4)} ms"
+        + (" (lower bound)" if scfg.depth > 0 else ""),
     ]
     report = "\n".join(lines)
     log.add(report)
