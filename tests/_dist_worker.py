@@ -7,8 +7,12 @@ backend), then runs a cross-process psum and one GSPMD-sharded TD
 train segment over the global 2-device mesh (SURVEY §4: multi-host
 logic validated on multi-process CPU without a cluster).
 
-Usage: python tests/_dist_worker.py <coordinator> <num_procs> <pid>
-Prints "WORKER_OK <pid>" on success.
+Usage: python tests/_dist_worker.py <coordinator> <num_procs> <pid> \
+           [segment|trainer <store_dir>]
+Prints "WORKER_OK <pid>" (segment) / "TRAINER_OK <pid>" (trainer) on
+success.  Trainer mode runs the FULL ``Trainer`` driver — mesh-native
+init, run, process-0 checkpointing, and a cross-process resume — the
+multi-host story above the raw GSPMD segment (round-2 verdict item 2).
 """
 
 import sys
@@ -22,8 +26,46 @@ jax.config.update("jax_platforms", "cpu")  # axon plugin override
 import jax.numpy as jnp  # noqa: E402
 
 
+def run_trainer(nprocs: int, pid: int, store_dir: str) -> None:
+    import numpy as np
+
+    from tpu2048.config import AgentConfig, MeshConfig, TrainConfig
+    from tpu2048.obs.logging import Logger
+    from tpu2048.parallel import distributed
+    from tpu2048.store.artifacts import LocalStore
+    from tpu2048.train.loop import Trainer
+
+    m = distributed.global_mesh(MeshConfig(data=nprocs, model=1))
+    store = LocalStore(store_dir)
+    acfg = AgentConfig(n=2)
+    tcfg = TrainConfig(
+        num_envs=8 * nprocs, episodes=80, steps_per_call=8, ring_size=256,
+        record_envs=2, max_record_steps=2048, checkpoint_every=40, seed=0,
+    )
+    tr = Trainer("dist_agent", acfg, tcfg, store=store,
+                 logger=Logger(console=False), mesh=m)
+    out = tr.run()
+    eps1 = out["episodes"]
+    assert eps1 >= tcfg.episodes, eps1
+    # the checkpoint must exist for every process (process 0 wrote it)
+    assert store.load("a/dist_agent.json") is not None
+    w1 = np.asarray(tr.state.weights)
+
+    # cross-process resume: every process reloads the same checkpoint,
+    # state is rebuilt mesh-native, and training continues
+    tr2 = Trainer("dist_agent", acfg, tcfg, store=store,
+                  logger=Logger(console=False), mesh=m, resume=True)
+    eps_resumed = int(np.asarray(tr2.state.metrics.episodes))
+    assert eps_resumed == eps1, (eps_resumed, eps1)
+    np.testing.assert_array_equal(np.asarray(tr2.state.weights), w1)
+    out2 = tr2.run()
+    assert out2["episodes"] >= eps1 + tcfg.episodes, out2["episodes"]
+    print(f"TRAINER_OK {pid}", flush=True)
+
+
 def main() -> None:
     coord, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "segment"
     # initialize the control plane BEFORE importing any tpu2048 module
     # that might touch the backend (device constants at import time)
     from tpu2048.parallel import distributed
@@ -32,6 +74,9 @@ def main() -> None:
         coordinator_address=coord, num_processes=nprocs, process_id=pid
     )
     assert ok, "distributed.initialize returned False with explicit args"
+    if mode == "trainer":
+        run_trainer(nprocs, pid, sys.argv[5])
+        return
     from tpu2048.agent import td
     from tpu2048.config import AgentConfig, MeshConfig, TrainConfig
     from tpu2048.features import ntuple

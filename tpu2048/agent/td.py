@@ -233,11 +233,10 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
     # traffic that dominates the 16^5/14^6 gather-path tables.
     fold_step = acfg.sym_mode == "scatter" and acfg.sym_impl == "fold"
     if fold_step:
-        from ..features.symmetry import fold_other_symmetries
+        from ..features.symmetry import symmetrize_sum
 
         def fold_pair(dsum, hits):
-            both = jnp.stack([dsum, hits])
-            both = both + fold_other_symmetries(ts, both)
+            both = symmetrize_sum(ts, jnp.stack([dsum, hits]))
             return both[0], both[1]
 
     if tc_mode or fold_step:
@@ -342,11 +341,9 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
                     dsum, hits = fold_pair(dsum, hits)
                     weights = state.weights + dsum / jnp.maximum(hits, 1.0)
                 else:
-                    from ..features.symmetry import fold_other_symmetries
+                    from ..features.symmetry import symmetrize_sum
 
-                    weights = state.weights + dsum + fold_other_symmetries(
-                        ts, dsum
-                    )
+                    weights = state.weights + symmetrize_sum(ts, dsum)
             else:
                 weights = update(
                     state.weights, idx_flat, dw_flat, valid_flat

@@ -64,17 +64,7 @@ def build_sym_transforms(n: int) -> SymMaps:
     return out
 
 
-def fold_other_symmetries(ts: TupleSet, delta: jax.Array) -> jax.Array:
-    """sum over the 7 non-identity D4 transforms of ``delta``.
-
-    ``w + delta + fold_other_symmetries(ts, delta)`` equals applying the
-    reference's 8-image update with accumulated identity delta.
-
-    ``delta`` may carry leading batch dimensions ``(..., total)`` — the
-    transform bank applies to each slice independently (used to fold a
-    stacked [dsum; hits] pair in one pass on the per-step hot path).
-    """
-    transforms = build_sym_transforms(ts.n)
+def _table_geometry(ts: TupleSet):
     offsets = [int(o) for o in ts.offsets]
     sizes = [int(z) for z in ts.sizes]
     bases = [
@@ -88,25 +78,89 @@ def fold_other_symmetries(ts: TupleSet, delta: jax.Array) -> jax.Array:
             v *= b
             k += 1
         ks.append(k)
-    # per-target accumulation, then one concat (offsets are contiguous
-    # ascending by construction, so concat reassembles the flat table).
-    # Digit permutations run through the streaming-pass planner
-    # (ops/digit_perm.py) — naive rank-5/6 transposes with 14/16-wide
-    # dims are ~30x off HBM bandwidth on TPU and would dominate the
-    # per-step fold.
+    # contiguous same-size classes (ascending offsets by construction)
+    classes = []  # (f0, g, size)
+    f = 0
+    while f < len(sizes):
+        g = 1
+        while f + g < len(sizes) and sizes[f + g] == sizes[f]:
+            g += 1
+        classes.append((f, g, sizes[f]))
+        f += g
+    return offsets, sizes, bases, ks, classes
+
+
+def _apply_transform(ts: TupleSet, delta: jax.Array, maps) -> jax.Array:
+    """One D4 table transform T_s of the full flat table.
+
+    Digit permutations run through the streaming-pass planner
+    (ops/digit_perm.py) — naive rank-5/6 transposes with 14/16-wide
+    dims are ~30x off HBM bandwidth on TPU and would dominate the
+    per-step fold.  Tables of one size class that share a digit perm
+    are stacked and transformed in ONE batched op chain (fewer, wider
+    passes).
+    """
     from ..ops.digit_perm import digit_transpose
 
-    pieces = [[] for _ in sizes]
-    for maps in transforms:
-        for ft, fs, perm in maps:
-            b, k = bases[fs], ks[fs]
-            src = delta[..., offsets[fs]: offsets[fs] + sizes[fs]]
-            pieces[ft].append(digit_transpose(src, b, k, perm))
-    return jnp.concatenate(
-        [sum(p[1:], p[0]) for p in pieces], axis=-1
-    )
+    offsets, sizes, bases, ks, classes = _table_geometry(ts)
+    lead = delta.shape[:-1]
+    num_feat = len(sizes)
+    pieces = [None] * num_feat
+    by_class_perm = {}
+    for ft, fs, perm in maps:
+        key = (next(i for i, (f0, g, _) in enumerate(classes)
+                    if f0 <= fs < f0 + g), perm)
+        by_class_perm.setdefault(key, []).append((ft, fs))
+    for (ci, perm), pairs in by_class_perm.items():
+        f0, g, size = classes[ci]
+        b, k = bases[f0], ks[f0]
+        cls = delta[..., offsets[f0]: offsets[f0] + g * size]
+        cls = cls.reshape(lead + (g, size))
+        fs_local = jnp.asarray([fs - f0 for _, fs in pairs])
+        src = jnp.take(cls, fs_local, axis=-2)  # (lead, |pairs|, size)
+        tr = digit_transpose(src, b, k, perm)
+        for i, (ft, _) in enumerate(pairs):
+            pieces[ft] = tr[..., i, :]
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def symmetrize_sum(ts: TupleSet, delta: jax.Array) -> jax.Array:
+    """sum over ALL 8 D4 transforms of ``delta`` (identity included).
+
+    D4 is solvable — {e} < {e,m} < {e,m,r2,mr2} < D4 — so the 8-term
+    orbit sum factors into THREE doubling steps, each one full-table
+    transform-and-add:
+
+        y1 = x + T_m(x);  y2 = y1 + T_r2(y1);  y3 = y2 + T_r(y2)
+
+    because the products {r^a r2^b m^c : a,b,c in {0,1}} enumerate every
+    group element exactly once.  3 transform passes instead of 7 — the
+    difference is pure HBM bandwidth on the per-step hot path.
+    ``tests/test_symmetry.py`` pins this against the explicit 8-image
+    scatter for every n.
+
+    ``delta`` may carry leading batch dimensions ``(..., total)`` — the
+    transform bank applies to each slice independently (used to fold a
+    stacked [dsum; hits] pair in one pass).
+    """
+    transforms = build_sym_transforms(ts.n)
+    # sym_perms rows (see ntuple._d4_perms): s=1 transpose (m),
+    # s=2 rot90 (r), s=4 rot180 (r^2); transforms[s-1] is T_s.
+    y = delta + _apply_transform(ts, delta, transforms[0])  # m
+    y = y + _apply_transform(ts, y, transforms[3])  # r^2
+    y = y + _apply_transform(ts, y, transforms[1])  # r
+    return y
+
+
+def fold_other_symmetries(ts: TupleSet, delta: jax.Array) -> jax.Array:
+    """sum over the 7 non-identity D4 transforms of ``delta``.
+
+    ``w + delta + fold_other_symmetries(ts, delta)`` equals applying the
+    reference's 8-image update with accumulated identity delta.
+    """
+    return symmetrize_sum(ts, delta) - delta
 
 
 def symmetrize_table(ts: TupleSet, w: jax.Array) -> jax.Array:
     """Average of a table over its full D4 orbit (symmetric projection)."""
-    return (w + fold_other_symmetries(ts, w)) / 8.0
+    return symmetrize_sum(ts, w) / 8.0

@@ -105,12 +105,70 @@ def td_state_shardings(mesh: Mesh, engine_mode: str = "cells") -> TDState:
 
 
 def shard_td_state(state: TDState, mesh: Mesh) -> TDState:
-    """Place a TDState onto the mesh with the canonical shardings."""
+    """Place a host-built TDState onto the mesh (single-process only:
+    ``jax.device_put`` of host arrays onto a multi-process mesh would
+    require every process to own the full value — multi-process callers
+    use ``init_sharded_td_state``, which computes each process's shards
+    in place under GSPMD)."""
     from ..engine.fast import EnvStateC
 
     mode = "codes" if isinstance(state.env, EnvStateC) else "cells"
     sh = td_state_shardings(mesh, mode)
     return jax.device_put(state, sh)
+
+
+def init_sharded_td_state(
+    ts, acfg, tcfg, mesh: Mesh, key, weights=None
+) -> TDState:
+    """Build a TDState directly ONTO the mesh under GSPMD.
+
+    Unlike ``shard_td_state`` (host-built state + ``device_put``), the
+    init computation itself is jitted with ``out_shardings``, so in a
+    multi-process run each process materializes only its addressable
+    shards — the path ``Trainer`` uses for real multi-host training
+    (SURVEY §7 step 4).  ``weights`` (resume) enters as a replicated
+    jit argument; every process must pass the same host array, which
+    holds because all load the same checkpoint.
+    """
+    import jax.numpy as jnp
+
+    from ..agent import td
+
+    sh = td_state_shardings(mesh, acfg.engine_mode)
+    rep = NamedSharding(mesh, P())
+    if weights is None:
+        f = jax.jit(
+            lambda k: td.init_td_state(ts, acfg, tcfg, k),
+            out_shardings=sh,
+        )
+        return f(jax.device_put(key, rep))
+    w = jax.device_put(jnp.asarray(weights, jnp.float32), rep)
+    f = jax.jit(
+        lambda k, w: td.init_td_state(ts, acfg, tcfg, k, weights=w),
+        out_shardings=sh,
+    )
+    return f(jax.device_put(key, rep), w)
+
+
+def replicate_to_mesh(x, mesh: Mesh):
+    """Place a host array replicated onto the mesh (all processes must
+    hold the same value — true for checkpoint-loaded state)."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def host_full(x) -> np.ndarray:
+    """Read a (possibly distributed) array fully onto this host.
+
+    Replicated arrays are fully addressable everywhere and read
+    directly; a model-sharded table is first all-gathered through a
+    replicating jit so checkpointing works from any process.
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    sharding = x.sharding
+    mesh = sharding.mesh
+    rep = NamedSharding(mesh, P())
+    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
 
 
 def make_sharded_train_segment(ts, acfg, tcfg, mesh: Mesh):

@@ -84,46 +84,65 @@ class Trainer:
                 k: meta[k] for k in ("forked_from", "source_episodes")
                 if k in meta
             }
-        self.state = td.init_td_state(
-            self.ts, acfg, tcfg, jax.random.PRNGKey(tcfg.seed), weights=weights
-        )
+        init_key = jax.random.PRNGKey(tcfg.seed)
+        if mesh is not None:
+            # mesh-native init: the state is computed directly onto the
+            # mesh under GSPMD (each process materializes only its
+            # addressable shards) — device_put of a host-built state
+            # cannot work multi-process (SURVEY §7 step 4).
+            from ..parallel import mesh as pmesh
+
+            self._pmesh = pmesh
+            self.state = pmesh.init_sharded_td_state(
+                self.ts, acfg, tcfg, mesh, init_key, weights=weights
+            )
+            self._segment = pmesh.make_sharded_train_segment(
+                self.ts, acfg, tcfg, mesh
+            )
+
+            def _dev(x):
+                return pmesh.replicate_to_mesh(x, mesh)
+        else:
+            self._pmesh = None
+            self.state = td.init_td_state(
+                self.ts, acfg, tcfg, init_key, weights=weights
+            )
+            self._segment = jax.jit(
+                td.make_train_segment(self.ts, acfg, tcfg), donate_argnums=0
+            )
+
+            def _dev(x):
+                return x
+        # only one process writes artifacts in a multi-host run; state
+        # reads for checkpoints are replicated, so any process could,
+        # but exactly one must
+        self._is_writer = jax.process_index() == 0
         if resume and meta:
             import jax.numpy as jnp
 
             extras = meta.get("extras", {})
             if acfg.optimizer == "tc" and "opt_e" in extras:
                 self.state = self.state._replace(
-                    opt_e=jnp.asarray(extras["opt_e"], jnp.float32),
-                    opt_a=jnp.asarray(extras["opt_a"], jnp.float32),
+                    opt_e=_dev(jnp.asarray(extras["opt_e"], jnp.float32)),
+                    opt_a=_dev(jnp.asarray(extras["opt_a"], jnp.float32)),
                 )
             if "rng_key" in extras:
                 # stream-exact resume: continue the original RNG stream
                 # rather than replaying PRNGKey(seed) from scratch (env
                 # boards restart fresh; spawn randomness continues)
                 self.state = self.state._replace(
-                    key=jnp.asarray(extras["rng_key"], jnp.uint32)
+                    key=_dev(jnp.asarray(extras["rng_key"], jnp.uint32))
                 )
             self.state = self.state._replace(
-                alpha=jnp.float32(meta.get("alpha", acfg.alpha)),
-                next_decay=jnp.int32(
+                alpha=_dev(jnp.float32(meta.get("alpha", acfg.alpha))),
+                next_decay=_dev(jnp.int32(
                     meta.get("next_decay", acfg.decay_step)
-                ),
-                top_tile=jnp.int32(meta.get("top_tile", 10)),
+                )),
+                top_tile=_dev(jnp.int32(meta.get("top_tile", 10))),
                 metrics=self.state.metrics._replace(
-                    episodes=jnp.int32(meta.get("episodes", 0)),
-                    best_score=jnp.int32(meta.get("top_score", 0)),
+                    episodes=_dev(jnp.int32(meta.get("episodes", 0))),
+                    best_score=_dev(jnp.int32(meta.get("top_score", 0))),
                 ),
-            )
-        if mesh is not None:
-            from ..parallel import mesh as pmesh
-
-            self.state = pmesh.shard_td_state(self.state, mesh)
-            self._segment = pmesh.make_sharded_train_segment(
-                self.ts, acfg, tcfg, mesh
-            )
-        else:
-            self._segment = jax.jit(
-                td.make_train_segment(self.ts, acfg, tcfg), donate_argnums=0
             )
         self._saved_best = int(np.asarray(self.state.metrics.best_score))
 
@@ -259,8 +278,14 @@ class Trainer:
 
     # -- checkpointing ------------------------------------------------------
 
+    def _host(self, x) -> np.ndarray:
+        """Full host copy of a (possibly mesh-distributed) array."""
+        if self._pmesh is not None:
+            return self._pmesh.host_full(x)
+        return np.asarray(x)
+
     def save(self) -> None:
-        if self.store is None:
+        if self.store is None or not self._is_writer:
             return
         meta = {
             **self._provenance,
@@ -274,15 +299,15 @@ class Trainer:
         }
         extras = {"rng_key": np.asarray(self.state.key, np.uint32)}
         if self.acfg.optimizer == "tc":
-            extras["opt_e"] = np.asarray(self.state.opt_e)
-            extras["opt_a"] = np.asarray(self.state.opt_a)
+            extras["opt_e"] = self._host(self.state.opt_e)
+            extras["opt_a"] = self._host(self.state.opt_a)
         ckpt.save_agent(
             self.store, self.name, self.acfg,
-            np.asarray(self.state.weights), meta, extras=extras,
+            self._host(self.state.weights), meta, extras=extras,
         )
 
     def _maybe_save_best_game(self) -> None:
-        if self.store is None:
+        if self.store is None or not self._is_writer:
             return
         best = int(np.asarray(self.state.recorder.best_score))
         if best > self._saved_best:
@@ -340,6 +365,13 @@ class Trainer:
         )
         self._maybe_save_best_game()
         self.save()
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host: no process may leave run() (and possibly
+            # re-read the checkpoint for a resume) before the writer
+            # finished the final save
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("tpu2048:run_end")
         if self.store is not None:
             self.log.add(f"{self.name} saved at episode "
                          f"{int(np.asarray(self.state.metrics.episodes))}")
