@@ -137,9 +137,23 @@ def bench_eval(n_envs=8192, k=128, reps=4):
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--trace", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler device trace of the "
+                        "headline train benchmark (TensorBoard format)")
+    args = p.parse_args()
     # warm up the device/tunnel before timing anything
     _sync(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
     from tpu2048.config import AgentConfig
+
+    if args.trace:
+        from tpu2048.obs.profiler import device_trace
+
+        with device_trace(args.trace):
+            bench_train(reps=1)
+        print(f"# trace written to {args.trace}", flush=True)
 
     train_sps = bench_train()
     champion_sps = bench_train(acfg=AgentConfig())  # shipped defaults

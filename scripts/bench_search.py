@@ -45,10 +45,6 @@ def main():
     key = jax.random.PRNGKey(0)
     kw, kb = jax.random.split(key)
     weights = ntuple.init_weights(ts, kw)
-    ev = dispatch.make_evaluator(ts, "gather")
-
-    def value_fn(b):
-        return ev(weights, b.reshape(b.shape[:-2] + (16,)))
 
     print(f"backend={jax.default_backend()} n={n} games={games}", flush=True)
 
@@ -59,14 +55,18 @@ def main():
     roots[roots > 8] = 0  # ~20% empties
     boards = jnp.asarray(roots.reshape(4 * games, 4, 4))
 
-    # raw leaf-eval rate at tree-leaf batch size
-    for b_leaf in (4 * games * (4 * width) ** 2,):
-        kb2 = jax.random.PRNGKey(1)
-        lb = jax.random.randint(kb2, (b_leaf, 16), 0, 11, dtype=jnp.int8)
-        f = jax.jit(lambda fb: ev(weights, fb))
-        dt = timeit(f, lb)
+    # raw leaf-eval rate at tree-leaf batch size, per evaluator mode
+    # (weights as a jit ARGUMENT — a closed-over table lowers as an
+    # embedded HLO constant and would bloat/break at n=6's 0.4 GB)
+    b_leaf = 4 * games * (4 * width) ** 2
+    kb2 = jax.random.PRNGKey(1)
+    lb = jax.random.randint(kb2, (b_leaf, 16), 0, 11, dtype=jnp.int8)
+    for emode in ("gather", "search"):
+        evm = dispatch.make_evaluator(ts, emode)
+        f = jax.jit(lambda w, fb, e=evm: e(w, fb))
+        dt = timeit(f, weights, lb)
         lookups = b_leaf * ts.num_feat
-        print(f"leaf eval b={b_leaf}: {dt*1e3:8.1f} ms  "
+        print(f"leaf eval [{emode:6s}] b={b_leaf}: {dt*1e3:8.1f} ms  "
               f"{lookups/dt/1e6:8.1f} M lookups/s", flush=True)
 
     # engine expansion rate at inner-node batch size
@@ -79,15 +79,20 @@ def main():
     dt = timeit(g, codes)
     print(f"afterstates_nc b={b_mid}: {dt*1e3:8.1f} ms", flush=True)
 
-    # full tree at depths 1..3
-    for depth in (1, 2, 3):
-        est = make_expectimax_estimator(value_fn, depth, width, 6)
-        f = jax.jit(lambda bb, kk: est(bb, kk))
-        dt = timeit(f, boards, jax.random.PRNGKey(2), reps=3)
-        leaves = 4 * games * (4 * width) ** depth
-        print(f"tree depth={depth}: {dt*1e3:8.1f} ms  "
-              f"({leaves/1e6:.2f}M leaves, "
-              f"{dt*1e3/games:.2f} ms/game-move)", flush=True)
+    # full tree at depths 1..3, per evaluator mode
+    for emode in ("gather", "search"):
+        evm = dispatch.make_evaluator(ts, emode)
+        for depth in (1, 2, 3):
+            def tree(w, bb, kk, d=depth, e=evm):
+                vf = lambda b: e(w, b.reshape(b.shape[:-2] + (16,)))
+                return make_expectimax_estimator(vf, d, width, 6)(bb, kk)
+
+            f = jax.jit(tree)
+            dt = timeit(f, weights, boards, jax.random.PRNGKey(2), reps=3)
+            leaves = 4 * games * (4 * width) ** depth
+            print(f"tree [{emode:6s}] depth={depth}: {dt*1e3:8.1f} ms  "
+                  f"({leaves/1e6:.2f}M leaves, "
+                  f"{dt*1e3/games:.2f} ms/game-move)", flush=True)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,10 @@ def main():
     p.add_argument("--low-alpha-limit", type=float, default=0.01)
     p.add_argument("--sym-mode", default="periodic",
                    choices=["periodic", "scatter", "none"])
+    p.add_argument("--sym-impl", default="fold", choices=["fold", "index"])
+    p.add_argument("--trace", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler device trace of the run "
+                        "(open with TensorBoard)")
     p.add_argument("--update-mode", default="mean", choices=["mean", "sum"])
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "tc"])
     p.add_argument("--table-ops", default="gather",
@@ -46,7 +50,8 @@ def main():
     acfg = AgentConfig(
         n=args.n, alpha=args.alpha, decay=args.decay,
         decay_step=args.decay_step, low_alpha_limit=args.low_alpha_limit,
-        sym_mode=args.sym_mode, update_mode=args.update_mode,
+        sym_mode=args.sym_mode, sym_impl=args.sym_impl,
+        update_mode=args.update_mode,
         optimizer=args.optimizer, table_ops=args.table_ops,
     )
     tcfg = TrainConfig(
@@ -56,7 +61,7 @@ def main():
     store = open_store("local", root="~/.tpu2048")
     trainer = Trainer(args.name, acfg, tcfg, store=store,
                       logger=Logger(console=True), resume=args.resume)
-    out = trainer.run()
+    out = trainer.run(trace_dir=args.trace)
     print("RESULT", out["episodes"], out["top_score"],
           f"{out['env_steps_per_sec']:.0f} steps/s")
 

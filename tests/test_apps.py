@@ -134,6 +134,38 @@ def test_train_start_status_stop(server):
     assert _post(server, "/api/train/stop", {"name": "webtrained"})["stopped"]
 
 
+def test_agent_info_prefill_precedence(server):
+    """Train-form prefill for an existing agent follows the reference's
+    precedence (application.py:537-552): live agent attributes > saved
+    config artifact > spec defaults."""
+    store = server.service.store
+    info = _get(server, "/api/agent?name=webby")
+    # n comes from the agent's stored config (overrides default 5)
+    assert info["form"]["n"] == 2
+    assert info["form"]["name"] == "webby"
+    assert info["meta"]["episodes"] >= 50
+    # layer the precedence explicitly: put a DIFFERENT alpha in the
+    # config artifact and another in the agent meta — meta must win,
+    # and a field only in the artifact must beat the spec default
+    doc = store.load(ckpt.agent_key("webby"))
+    doc["meta"]["alpha"] = 0.125
+    store.save(ckpt.agent_key("webby"), doc)
+    store.save("c/config_webby.json",
+               {"alpha": 0.5, "decay": 0.9, "episodes": 7777})
+    info = _get(server, "/api/agent?name=webby")
+    assert info["form"]["alpha"] == 0.125  # live agent attr wins over all
+    assert info["form"]["decay"] == 0.75  # agent's stored config beats artifact
+    assert info["form"]["episodes"] == 7777  # artifact beats spec default
+    spec = {p["name"]: p for p in _get(server, "/api/params")}
+    assert info["form"]["decay_step"] == spec["decay_step"]["default"]
+    # unknown agent -> 404
+    try:
+        _get(server, "/api/agent?name=nosuch")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
 def test_train_rejects_bad_names(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/api/train/start",
@@ -172,6 +204,36 @@ def test_watch_mode(server):
     f = frames[1]
     assert len(f["board"]) == 4 and f["next_move"] in (-1, 0, 1, 2, 3)
     _post(server, "/api/watch/stop", {"session": session})
+
+
+def test_watch_mode_device_backend(server):
+    """Watch over the device (XLA) search path: the same batched
+    compacted-expectimax code the eval driver runs, streamed one game
+    at a time (round-2 verdict item 4)."""
+    r = _post(server, "/api/watch/start",
+              {"name": "webby", "backend": "device", "depth": 1,
+               "width": 2, "since_empty": 6})
+    session = r["session"]
+    deadline = time.time() + 240  # device path compiles its tree tiers
+    frames, done = [], False
+    while time.time() < deadline:
+        out = _get(server, f"/api/watch/frames?session={session}&since=0")
+        frames, done = out["frames"], out["done"]
+        if len(frames) > 10 or done:
+            break
+        time.sleep(0.3)
+    assert len(frames) > 1
+    # move frames carry (pre-move board, chosen move); scores ascend
+    moves = [f["next_move"] for f in frames[1:-1]]
+    assert all(m in (0, 1, 2, 3) for m in moves)
+    scores = [f["score"] for f in frames]
+    assert all(b >= a for a, b in zip(scores, scores[1:]))
+    _post(server, "/api/watch/stop", {"session": session})
+    # unknown backend rejected
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/watch/start",
+              {"name": "webby", "backend": "warp"})
+    assert e.value.code == 400
 
 
 def test_replay_mode(server):

@@ -50,7 +50,10 @@ def _run_workers(extra_args, ok_token: str, nprocs: int = 2):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            # generous: two Trainer instantiations compile GSPMD
+            # segments on CPU, and CI machines run the suite in
+            # parallel with other load
+            out, _ = p.communicate(timeout=540)
             outs.append(out)
     finally:
         for p in procs:

@@ -61,6 +61,57 @@ def test_trainer_end_to_end_with_store():
     assert (board == rec["final_board"]).all()
 
 
+def test_true_best_game_capture():
+    """With the default ``record_envs=-1`` every env is recorded, so
+    the saved best game IS the run's true best: its score equals
+    ``metrics.best_score`` (the reference always saves its actual best
+    game, r_learning.py:299-306), and the record replays exactly."""
+    import dataclasses
+
+    store = MemoryStore()
+    cfg = dataclasses.replace(TCFG, record_envs=-1, episodes=300)
+    tr = Trainer("bestie", AgentConfig(n=2), cfg, store=store,
+                 logger=Logger(console=False))
+    tr.run()
+    best_metric = int(np.asarray(tr.state.metrics.best_score))
+    assert best_metric > 0
+    rec = ckpt.load_game(store, "best_of_bestie")
+    assert rec["score"] == best_metric
+    board = rec["starting_position"].copy()
+    score = 0
+    for t in range(rec["odometer"]):
+        nb, delta, changed = engine.np_move(board, int(rec["moves"][t]))
+        assert changed
+        score += delta
+        val, i, j = rec["tiles"][t]
+        nb[i, j] = val
+        board = nb
+    assert score == rec["score"]
+    assert (board == rec["final_board"]).all()
+
+
+def test_trainer_timing_and_device_trace(tmp_path):
+    """Profiler wiring (SURVEY §5 tracing row): Trainer.run times its
+    host phases with Timer and surfaces them in the log, and
+    ``trace_dir`` captures a jax.profiler device trace."""
+    import dataclasses
+
+    store = MemoryStore()
+    log = Logger(store=store, key="l/p.txt", console=False)
+    # small budget: trace capture multiplies per-op cost on CPU
+    cfg = dataclasses.replace(TCFG, episodes=30, checkpoint_every=25,
+                              log_every=10)
+    tr = Trainer("prof", AgentConfig(n=2), cfg, store=store, logger=log)
+    tr.run(trace_dir=str(tmp_path / "trace"))
+    tail = log.tail()
+    assert "timing:" in tail
+    assert "train_segment" in tail
+    assert tr.timer.totals["train_segment"] > 0
+    assert tr.timer.counts["checkpoint"] >= 1
+    trace_files = [p for p in (tmp_path / "trace").rglob("*") if p.is_file()]
+    assert trace_files, "no device trace files written"
+
+
 def test_trainer_resume_continues_and_retunes():
     store = MemoryStore()
     tr = Trainer("resumer", AgentConfig(n=2), TCFG, store=store,

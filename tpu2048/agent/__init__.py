@@ -3,7 +3,6 @@ from .td import (
     Recorder,
     TDState,
     evaluate_boards,
-    greedy_step,
     init_td_state,
     make_train_step,
 )
@@ -13,7 +12,6 @@ __all__ = [
     "Recorder",
     "TDState",
     "evaluate_boards",
-    "greedy_step",
     "init_td_state",
     "make_train_step",
 ]

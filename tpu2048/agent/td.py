@@ -72,6 +72,14 @@ class Recorder(NamedTuple):
     best_score: jax.Array  # i32
 
 
+def record_env_count(tcfg: TrainConfig) -> int:
+    """Number of envs with trajectory recording: ``record_envs`` <= 0
+    means ALL envs (true best-game capture, the default)."""
+    n = tcfg.num_envs
+    r = tcfg.record_envs
+    return n if r <= 0 else max(1, min(r, n))
+
+
 def _num_sym(acfg: AgentConfig) -> int:
     """Width of the per-step scatter index block: 8 board images only
     for the explicit-index "scatter" implementation; identity for the
@@ -162,7 +170,7 @@ def init_td_state(
     weights: Optional[jax.Array] = None,
 ) -> TDState:
     n, s = tcfg.num_envs, tcfg.max_record_steps
-    r_env = max(1, min(tcfg.record_envs, n))
+    r_env = record_env_count(tcfg)
     kw, ke = jax.random.split(jax.random.PRNGKey(tcfg.seed) if key is None else key)
     if weights is None:
         weights = ntuple.init_weights(ts, kw)
@@ -216,7 +224,7 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
 
     num_feat = ts.num_feat
     ring = tcfg.ring_size
-    r_env = max(1, min(tcfg.record_envs, tcfg.num_envs))
+    r_env = record_env_count(tcfg)
     s_max = tcfg.max_record_steps
     num_sym = _num_sym(acfg)
 
@@ -540,33 +548,3 @@ def make_train_segment(
     return segment
 
 
-def greedy_step(
-    ts: ntuple.TupleSet,
-    weights: jax.Array,
-    env: engine.EnvState,
-    key: jax.Array,
-    active: jax.Array,
-    select=None,
-) -> Tuple[engine.EnvState, jax.Array, jax.Array]:
-    """One policy-only step for evaluation/watching.
-
-    Active envs move greedily and spawn; inactive or finished envs are
-    frozen (no auto-reset — ``QAgent.trial`` semantics of playing each
-    game exactly once).  Returns (env', active', best_dir).
-    """
-    boards = env.boards
-    n = boards.shape[0]
-    if select is None:
-        select = make_select_greedy(ts)
-    chosen, best_dir, _, best_delta, done = select(weights, boards)
-    step_mask = active & ~done
-    moved = jnp.where(step_mask[:, None, None], chosen, boards)
-    spawned, _, _ = engine.spawn(moved, key)
-    boards_out = jnp.where(step_mask[:, None, None], spawned, boards)
-    score = jnp.where(step_mask, env.score + best_delta, env.score)
-    odo = jnp.where(step_mask, env.odometer + 1, env.odometer)
-    return (
-        engine.EnvState(boards=boards_out, score=score, odometer=odo),
-        active & ~done,
-        best_dir,
-    )

@@ -129,6 +129,8 @@ def make_handler(service: AppService):
                 self._json(service.params_spec())
             elif path == "/api/agents":
                 self._json(service.list_agents())
+            elif path == "/api/agent":
+                self._json(service.agent_info(q["name"]))
             elif path == "/api/games":
                 self._json(service.list_games())
             elif path == "/api/files":
@@ -192,6 +194,7 @@ def make_handler(service: AppService):
                     width=int(body.get("width", 1)),
                     since_empty=int(body.get("since_empty", 6)),
                     parent=body.get("parent", "web"),
+                    backend=body.get("backend", "auto"),
                 )
                 self._json({"session": sid})
             elif path == "/api/watch/stop":

@@ -149,6 +149,42 @@ class AppService:
         return [k[len("a/"):-len(".json")]
                 for k in self.store.list_keys("a/")]
 
+    def agent_info(self, name: str) -> Dict[str, Any]:
+        """Stored hyperparameters + metadata for one agent, with a
+        ``form`` dict prefilled by the reference's train-form precedence
+        (``application.py:537-552``): agent attributes (the live values
+        saved in the checkpoint meta — alpha, episodes) override the
+        saved config artifact (``c/config_<name>.json``), which
+        overrides the params-spec defaults."""
+        doc = self.store.load(ckpt.agent_key(name))
+        if doc is None:
+            raise KeyError(f"no such agent: {name}")
+        stored_cfg = dict(doc.get("config", {}))
+        meta = dict(doc.get("meta", {}))
+        cfg_artifact = self.store.load(f"c/config_{name}.json") or {}
+        form: Dict[str, Any] = {
+            s["name"]: s["default"] for s in PARAMS_SPEC
+        }
+        form["name"] = name
+        for field in form:
+            if field in cfg_artifact:
+                form[field] = cfg_artifact[field]
+        for field in form:
+            if field in stored_cfg:
+                form[field] = stored_cfg[field]
+        # live agent attributes win over both configs (the reference
+        # fills from the loaded agent first)
+        if "alpha" in meta:
+            form["alpha"] = meta["alpha"]
+        return {
+            "name": name,
+            "config": stored_cfg,
+            "meta": {k: v for k, v in meta.items()
+                     if k != "train_history"},
+            "history_len": len(meta.get("train_history", [])),
+            "form": form,
+        }
+
     def list_games(self) -> List[str]:
         return [k[len("g/"):-len(".npz")]
                 for k in self.store.list_keys("g/")]
@@ -351,7 +387,18 @@ class AppService:
     # -- watch agent play (application.py:398-442) --------------------------
 
     def start_watch(self, name: str, depth: int = 0, width: int = 1,
-                    since_empty: int = 6, parent: str = "web") -> str:
+                    since_empty: int = 6, parent: str = "web",
+                    backend: str = "auto") -> str:
+        """Start a live watch session.
+
+        ``backend`` selects the play engine: "native" (C++ host
+        engine), "python" (reference-parity sequential engine),
+        "device" (the TPU/XLA batched expectimax path — the same code
+        the eval driver runs, streamed one game at a time), or "auto"
+        (native if built, else python).
+        """
+        if backend not in ("auto", "native", "python", "device"):
+            raise ValueError(f"unknown watch backend: {backend}")
         acfg, weights, _ = ckpt.load_agent(self.store, name)
         ts = ntuple.get_tuple_set(acfg.n)
         w = np.asarray(weights)
@@ -361,15 +408,18 @@ class AppService:
         self.watches[session_id] = ws
 
         native_engine = None
-        try:
-            from .. import native as native_mod
+        if backend in ("auto", "native"):
+            try:
+                from .. import native as native_mod
 
-            if native_mod.available():
-                native_engine = native_mod.NativeEngine(
-                    ts, w, seed=random.getrandbits(32)
-                )
-        except Exception:  # pragma: no cover - toolchain-less hosts
-            native_engine = None
+                if native_mod.available():
+                    native_engine = native_mod.NativeEngine(
+                        ts, w, seed=random.getrandbits(32)
+                    )
+            except Exception:  # pragma: no cover - toolchain-less hosts
+                native_engine = None
+            if backend == "native" and native_engine is None:
+                raise ValueError("native engine not built on this host")
 
         def body_native(job: Job):
             # C++ fast path: greedy/expectimax stepping at ms latency
@@ -422,7 +472,48 @@ class AppService:
             ws.add(_frame(game.row, game.score, game.odometer, -1))
             ws.done = True
 
-        body = body_native if native_engine is not None else body_python
+        def body_device(job: Job):
+            # TPU/XLA path: the SAME batched (compacted) expectimax
+            # the eval driver uses, run on a single game with one
+            # device step per move; frames are emitted move-by-move
+            # with the reference's (pre-move board, chosen move)
+            # semantics by diffing consecutive states.
+            import jax.numpy as jnp
+
+            from ..engine import fast as engf
+            from ..train.trial import trial as run_trial
+
+            prev: Dict[str, Any] = {}
+
+            def cb(st):
+                board = np.asarray(engf.boards_from_codes(st.codes))[0]
+                score = int(np.asarray(st.score)[0])
+                odo = int(np.asarray(st.odometer)[0])
+                if prev and odo > prev["odo"]:
+                    mv = int(np.asarray(st.moves)[0, prev["odo"]])
+                    ws.add(_frame(prev["board"], prev["score"],
+                                  prev["odo"], mv))
+                prev.update(board=board, score=score, odo=odo)
+
+            ws.add(_frame(np.zeros((4, 4), np.int8), 0, 0, -2))
+            run_trial(
+                ts, jnp.asarray(w), num=1, steps_per_call=1,
+                seed=random.getrandbits(31),
+                search=SearchConfig(depth=depth, width=width,
+                                    since_empty=since_empty),
+                progress_cb=cb, stop_cb=job.should_stop,
+            )
+            if prev:
+                ws.add(_frame(prev["board"], prev["score"], prev["odo"],
+                              -1))
+            ws.done = True
+
+        if backend == "device":
+            body = body_device
+        elif backend == "python":
+            body = body_python
+        else:
+            body = body_native if native_engine is not None else body_python
         self.jobs.start(body, "watch", session_id, parent=parent)
         return session_id
 

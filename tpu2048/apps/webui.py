@@ -245,11 +245,31 @@ async function renderTrain() {
   html += `<div class="row"><button id="t-start">TRAIN</button>
     <button id="t-stop">STOP</button><span id="t-status"></span></div>`;
   $('controls').innerHTML = html;
+  // continue-existing prefill: fill the form with the agent's current
+  // hyperparameters (reference precedence: agent attrs > saved config
+  // > defaults — application.py:537-552), so the user inspects and
+  // retunes what the agent actually runs with before resuming.
+  const prefill = async () => {
+    const name = $('t-agent').value;
+    if (!name) return;
+    try {
+      const info = await api('/api/agent?name=' + encodeURIComponent(name));
+      for (const p of spec) {
+        const el = $('p-' + p.name);
+        if (el && info.form[p.name] !== undefined)
+          el.value = info.form[p.name];
+      }
+      $('t-status').textContent =
+        `loaded ${name}: ${info.meta.episodes || 0} episodes trained`;
+    } catch (e) { $('t-status').textContent = e.message; }
+  };
   $('t-mode').onchange = () => {
     const m = $('t-mode').value;
     $('t-existing').style.display = m === 'existing' ? 'inline' : 'none';
     $('t-source').style.display = m === 'fork' ? 'inline' : 'none';
+    if (m === 'existing') prefill();
   };
+  $('t-agent').onchange = prefill;
   $('t-start').onclick = async () => {
     const params = {};
     for (const p of spec) {
@@ -312,13 +332,17 @@ async function renderWatch() {
    <label>depth</label><input id="w-depth" type="number" value="0">
    <label>width</label><input id="w-width" type="number" value="1">
    <label>since_empty</label><input id="w-se" type="number" value="6">
+   <label>engine</label><select id="w-backend">
+   <option value="auto">auto</option><option value="native">native C++</option>
+   <option value="device">TPU device search</option>
+   <option value="python">reference-parity python</option></select>
    <div class="row"><button id="w-start">LAUNCH!</button>
    <span id="w-status"></span></div>`;
   $('w-start').onclick = async () => {
     try {
       const r = await post('/api/watch/start', {name: $('w-agent').value,
         depth: +$('w-depth').value, width: +$('w-width').value,
-        since_empty: +$('w-se').value});
+        since_empty: +$('w-se').value, backend: $('w-backend').value});
       watchSession = r.session; frames = []; framePos = 0; paused = false;
       $('w-status').textContent = 'watching';
       startAnimator(async () => {

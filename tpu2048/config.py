@@ -96,7 +96,13 @@ class TrainConfig:
     num_envs: int = 8192
     steps_per_call: int = 64  # jit-rolled steps per host iteration
     ring_size: int = 8192  # completed-episode metrics ring buffer
-    record_envs: int = 32  # envs with full trajectory recording
+    # Envs with full (move, spawn) trajectory recording; -1 (default)
+    # records ALL envs so the saved best game is the TRUE best game of
+    # the run, like the reference's best-game save
+    # (r_learning.py:299-306) — at 8192 envs x 16384 steps the two int8
+    # logs cost 268 MB of HBM.  Set a small count to trade capture
+    # coverage for memory on tight configurations.
+    record_envs: int = -1
     max_record_steps: int = 16384
     seed: int = 0
     episodes: int = 100000  # target completed episodes

@@ -35,10 +35,13 @@ def _pick_tb(b: int) -> int:
 
 
 def resolve_mode(mode: str) -> str:
-    """"auto" -> fused Pallas kernels on TPU, gather elsewhere."""
-    if mode != "auto":
-        return mode
-    return "pallas" if jax.default_backend() == "tpu" else "gather"
+    """"auto" -> fused Pallas kernels on TPU, gather elsewhere.
+    "search" -> search-grade mixed evaluator on TPU, gather elsewhere."""
+    if mode == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "gather"
+    if mode == "search":
+        return "search" if jax.default_backend() == "tpu" else "gather"
+    return mode
 
 
 def make_evaluator(ts: TupleSet, mode: str) -> Callable:
@@ -60,6 +63,35 @@ def make_evaluator(ts: TupleSet, mode: str) -> Callable:
             return oh.onehot_eval(ts, classes, weights, idx)
 
         return eval_onehot
+
+    if mode == "search":
+        from . import pallas_kernels as pk
+
+        def eval_search(weights, flat_boards):
+            """Search-grade leaf evaluator: matmul classes via the
+            fused Pallas kernel in SINGLE-PASS bf16 (~2^-8 relative
+            error — the expectimax leaf value is a sampled heuristic,
+            so f32 exactness buys nothing), larger classes (16^5,
+            14^6) via gather.  At tree batches this runs the 16^4
+            class near MXU rate instead of the latency-bound gather's
+            ~93M lookups/s."""
+            shape = flat_boards.shape[:-1]
+            b = int(np.prod(shape)) if shape else 1
+            idx = feature_indices(ts, flat_boards).reshape(b, ts.num_feat)
+            tb = _pick_tb(b)
+            total = jnp.zeros((b,), jnp.float32)
+            for c in classes.matmul:
+                tables = oh._class_tables(weights, c)
+                hi, lo = oh._hi_lo(ts, idx, c)
+                total = total + pk.eval_class(
+                    tables, hi, lo, tb, precision="bf16"
+                )
+            if len(classes.gather_feats):
+                gf = jnp.asarray(classes.gather_feats)
+                total = total + weights[idx[:, gf]].sum(axis=-1)
+            return total.reshape(shape)
+
+        return eval_search
 
     if mode == "pallas":
         from . import pallas_kernels as pk

@@ -72,6 +72,22 @@ def _eval_kernel_2pass(g, h, l, hi_ref, lo_ref, t12_ref, out_ref):
     out_ref[:] = jnp.sum(acc, axis=1, keepdims=True)
 
 
+def _eval_kernel_1pass(g, h, l, hi_ref, lo_ref, t1_ref, out_ref):
+    # single bf16 pass (head only, ~2^-8 relative error): half the MXU
+    # work of bf16x2 — used for expectimax LEAF evaluation, where the
+    # value is a search heuristic and full f32 accuracy buys nothing.
+    tb = hi_ref.shape[0]
+    acc = jnp.zeros((tb, l), jnp.float32)
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (tb, h), 1)
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (tb, l), 1)
+    for gi in range(g):
+        oh_hi = (col_h == hi_ref[:, gi][:, None]).astype(jnp.bfloat16)
+        m = jnp.dot(oh_hi, t1_ref[gi], preferred_element_type=jnp.float32)
+        oh_lo = (col_l == lo_ref[:, gi][:, None]).astype(jnp.float32)
+        acc += m * oh_lo
+    out_ref[:] = jnp.sum(acc, axis=1, keepdims=True)
+
+
 def _eval_kernel_f32(g, h, l, hi_ref, lo_ref, tab_ref, out_ref):
     tb = hi_ref.shape[0]
     acc = jnp.zeros((tb, l), jnp.float32)
@@ -119,6 +135,15 @@ def eval_class(
             out_shape=out_shape,
             interpret=interpret,
         )(hi, lo, t12)
+    elif precision == "bf16":
+        out = pl.pallas_call(
+            functools.partial(_eval_kernel_1pass, g, h, l),
+            grid=(b // tb,),
+            in_specs=[idx_spec, idx_spec, tab_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(hi, lo, tables.astype(jnp.bfloat16))
     else:
         out = pl.pallas_call(
             functools.partial(_eval_kernel_f32, g, h, l),

@@ -47,9 +47,14 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("data", "model"))
 
 
-def td_state_shardings(mesh: Mesh, engine_mode: str = "cells") -> TDState:
+def td_state_shardings(mesh: Mesh, engine_mode: str = "cells",
+                       record_all: bool = False) -> TDState:
     """NamedSharding pytree for a TDState: per-env leaves on ``data``,
-    scalars + metrics + recorder replicated.
+    scalars + metrics replicated.  With ``record_all`` (the default
+    TrainConfig records every env for true best-game capture) the
+    per-env recorder logs are sharded along ``data`` too — a replicated
+    (N, S) move log would multiply its 134 MB by the device count;
+    the best-game snapshot fields stay replicated.
 
     The weight table is replicated when the mesh's ``model`` axis is
     trivial (the common case — 4–70 MB fits HBM), and sharded along
@@ -91,10 +96,10 @@ def td_state_shardings(mesh: Mesh, engine_mode: str = "cells") -> TDState:
             best_score=rep,
         ),
         recorder=Recorder(
-            moves=rep,
-            spawns=rep,
-            starts=rep,
-            overflow=rep,
+            moves=data if record_all else rep,
+            spawns=data if record_all else rep,
+            starts=data if record_all else rep,
+            overflow=data if record_all else rep,
             best_moves=rep,
             best_spawns=rep,
             best_start=rep,
@@ -113,7 +118,10 @@ def shard_td_state(state: TDState, mesh: Mesh) -> TDState:
     from ..engine.fast import EnvStateC
 
     mode = "codes" if isinstance(state.env, EnvStateC) else "cells"
-    sh = td_state_shardings(mesh, mode)
+    record_all = (
+        state.recorder.moves.shape[0] == state.prev_value.shape[0]
+    )
+    sh = td_state_shardings(mesh, mode, record_all=record_all)
     return jax.device_put(state, sh)
 
 
@@ -134,7 +142,10 @@ def init_sharded_td_state(
 
     from ..agent import td
 
-    sh = td_state_shardings(mesh, acfg.engine_mode)
+    sh = td_state_shardings(
+        mesh, acfg.engine_mode,
+        record_all=td.record_env_count(tcfg) == tcfg.num_envs,
+    )
     rep = NamedSharding(mesh, P())
     if weights is None:
         f = jax.jit(
@@ -159,12 +170,19 @@ def replicate_to_mesh(x, mesh: Mesh):
 def host_full(x) -> np.ndarray:
     """Read a (possibly distributed) array fully onto this host.
 
-    Replicated arrays are fully addressable everywhere and read
-    directly; a model-sharded table is first all-gathered through a
-    replicating jit so checkpointing works from any process.
+    Single-process (or fully addressable) arrays read directly.  A
+    replicated multi-process array is NOT fully addressable, but every
+    process already holds a complete copy in its local shards — read
+    it without any collective, so a lone writer process can snapshot
+    state while its peers keep training.  Only a genuinely
+    cross-process-sharded array (model-axis table) needs the
+    replicating jit gather, which is a COLLECTIVE: every process of
+    the mesh must call ``host_full`` on it together.
     """
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
+    if getattr(x, "is_fully_replicated", False):
+        return np.asarray(x.addressable_data(0))
     sharding = x.sharding
     mesh = sharding.mesh
     rep = NamedSharding(mesh, P())
@@ -177,9 +195,12 @@ def make_sharded_train_segment(ts, acfg, tcfg, mesh: Mesh):
     XLA/GSPMD turns the replicated-table scatter-add from the sharded
     env batch into local scatter + all-reduce over the ``data`` axis.
     """
-    from ..agent.td import make_train_segment
+    from ..agent.td import make_train_segment, record_env_count
 
     seg = make_train_segment(ts, acfg, tcfg)
-    sh = td_state_shardings(mesh, acfg.engine_mode)
+    sh = td_state_shardings(
+        mesh, acfg.engine_mode,
+        record_all=record_env_count(tcfg) == tcfg.num_envs,
+    )
     return jax.jit(seg, in_shardings=(sh,), out_shardings=sh,
                    donate_argnums=0)

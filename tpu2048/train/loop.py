@@ -62,8 +62,11 @@ class Trainer:
         self.log = logger or Logger(console=True)
         self.ts = ntuple.get_tuple_set(acfg.n)
         self.mesh = mesh
+        # only one process writes artifacts/metrics in a multi-host run
+        self._is_writer = jax.process_index() == 0
         self.metrics_writer = (
-            MetricsWriter(store, name) if store is not None else None
+            MetricsWriter(store, name)
+            if store is not None and self._is_writer else None
         )
         self.train_history: list = []
 
@@ -285,7 +288,18 @@ class Trainer:
         return np.asarray(x)
 
     def save(self) -> None:
-        if self.store is None or not self._is_writer:
+        if self.store is None:
+            return
+        # host reads FIRST, on every process: a model-axis-sharded
+        # table crosses processes and host_full gathers it through a
+        # collective jit — all peers must participate even though only
+        # the writer process emits the artifact files.
+        weights_np = self._host(self.state.weights)
+        extras = {"rng_key": np.asarray(self.state.key, np.uint32)}
+        if self.acfg.optimizer == "tc":
+            extras["opt_e"] = self._host(self.state.opt_e)
+            extras["opt_a"] = self._host(self.state.opt_a)
+        if not self._is_writer:
             return
         meta = {
             **self._provenance,
@@ -297,13 +311,9 @@ class Trainer:
             "train_history": [int(x) for x in self.train_history],
             "num_envs": self.tcfg.num_envs,
         }
-        extras = {"rng_key": np.asarray(self.state.key, np.uint32)}
-        if self.acfg.optimizer == "tc":
-            extras["opt_e"] = self._host(self.state.opt_e)
-            extras["opt_a"] = self._host(self.state.opt_a)
         ckpt.save_agent(
             self.store, self.name, self.acfg,
-            self._host(self.state.weights), meta, extras=extras,
+            weights_np, meta, extras=extras,
         )
 
     def _maybe_save_best_game(self) -> None:
@@ -321,9 +331,16 @@ class Trainer:
 
     # -- main loop ----------------------------------------------------------
 
-    def run(self, job: Optional[Job] = None,
-            registry=None) -> Dict[str, Any]:
+    def run(self, job: Optional[Job] = None, registry=None,
+            trace_dir: Optional[str] = None) -> Dict[str, Any]:
+        """Main loop.  ``trace_dir`` captures a ``jax.profiler`` device
+        trace of the whole session (TensorBoard-compatible, SURVEY §5
+        tracing row); host-side phases are timed with ``Timer`` and
+        reported in the final log lines either way."""
+        from ..obs.profiler import Timer, device_trace
+
         tcfg = self.tcfg
+        timer = self.timer = Timer()
         start_eps = int(np.asarray(self.state.metrics.episodes))
         target = start_eps + tcfg.episodes
         self.log.add(
@@ -337,32 +354,39 @@ class Trainer:
         ) * tcfg.checkpoint_every
         t_global = t_block = time.time()
         steps_done = 0
-        while True:
-            if job is not None and job.should_stop():
-                self.log.add("training cancelled")
-                break
-            self.state = self._segment(self.state)
-            steps_done += tcfg.steps_per_call * tcfg.num_envs
-            episodes = int(np.asarray(self.state.metrics.episodes))
-            if registry is not None and job is not None:
-                registry.heartbeat(job.parent)
-            next_100 = self._drain_history(next_100)
-            if episodes >= next_1000:
-                self._report_1000(episodes, time.time() - t_block)
-                t_block = time.time()
-                self._maybe_save_best_game()
-                self.save()
-                next_1000 = (
-                    episodes // tcfg.checkpoint_every + 1
-                ) * tcfg.checkpoint_every
-            if episodes >= target:
-                break
+        with device_trace(trace_dir):
+            while True:
+                if job is not None and job.should_stop():
+                    self.log.add("training cancelled")
+                    break
+                with timer.section("train_segment"):
+                    self.state = self._segment(self.state)
+                steps_done += tcfg.steps_per_call * tcfg.num_envs
+                with timer.section("metrics_read"):
+                    episodes = int(np.asarray(self.state.metrics.episodes))
+                    if registry is not None and job is not None:
+                        registry.heartbeat(job.parent)
+                    next_100 = self._drain_history(next_100)
+                if episodes >= next_1000:
+                    with timer.section("checkpoint"):
+                        self._report_1000(episodes, time.time() - t_block)
+                        t_block = time.time()
+                        self._maybe_save_best_game()
+                        self.save()
+                    next_1000 = (
+                        episodes // tcfg.checkpoint_every + 1
+                    ) * tcfg.checkpoint_every
+                if episodes >= target:
+                    break
         total = time.time() - t_global
         sps = steps_done / max(total, 1e-9)
         self.log.add(
             f"Total time = {int(total) // 60} min {int(total) % 60} sec "
             f"({sps / 1e3:.0f}K env-steps/s)"
         )
+        self.log.add("timing:\n" + timer.report())
+        if trace_dir:
+            self.log.add(f"device trace written to {trace_dir}")
         self._maybe_save_best_game()
         self.save()
         if self.mesh is not None and jax.process_count() > 1:

@@ -61,12 +61,15 @@ def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
     from ..ops import dispatch as table_dispatch
 
     if table_ops == "auto" and scfg.depth > 0:
-        # Search evaluates (4*width)^depth leaf boards per root move —
-        # millions of rows.  The one-hot MXU path costs ~2*H*L FLOPs
-        # per lookup (a win at policy-serve batch sizes where gathers
-        # are latency-bound) but at search batches it is petaFLOPs per
-        # move; the bandwidth-bound gather path is the right tool.
-        table_ops = "gather"
+        # Search evaluates (4*width)^depth leaf boards per root move.
+        # The "search" mode runs the 16^2..16^4 matmul classes through
+        # the fused Pallas kernel in single-pass bf16 (one (TB,H)@(H,L)
+        # MXU issue per tuple, ~2^-8 relative error — plenty for a
+        # sampled-tree heuristic) and gathers only the large classes
+        # (16^5, 14^6); plain gather runs ~93M lookups/s on TPU, so
+        # moving the 17-of-21 16^4 share of n=5 off it is the single
+        # biggest search speedup.  Off-TPU this resolves to gather.
+        table_ops = "search"
     if policy == "value":
         eval_fn = table_dispatch.make_evaluator(ts, table_ops)
     elif policy not in ("random", "score"):
