@@ -136,14 +136,14 @@ def bench_eval(n_envs=8192, k=128, reps=4):
     return reps * k * n_envs / dt
 
 
-def main():
+def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler device trace of the "
                         "headline train benchmark (TensorBoard format)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
     # warm up the device/tunnel before timing anything
     _sync(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
     from tpu2048.config import AgentConfig

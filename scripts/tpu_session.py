@@ -75,7 +75,40 @@ def run_bench(_store, _step):
     import bench
 
     print("===== bench =====", flush=True)
-    bench.main()
+    bench.main([])  # don't let it see this driver's argv
+
+
+def run_probe(_store, step):
+    """Throughput probe: train-segment env-steps/s for an arbitrary
+    agent/train config (e.g. the n=6 fold path), without a full run."""
+    import bench
+
+    acfg = AgentConfig(**step.get("agent", {}))
+    tr = step.get("train", {})
+    sps = bench.bench_train(
+        n_envs=tr.get("num_envs", 8192),
+        k=tr.get("steps_per_call", 64),
+        reps=step.get("reps", 3),
+        acfg=acfg,
+    )
+    print(f"===== probe {step.get('label', '')}: {sps:,.0f} env-steps/s "
+          f"=====", flush=True)
+
+
+def run_search_bench(_store, step):
+    """In-process leaf-eval + tree microbench (scripts/bench_search.py)."""
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_search
+
+    argv_save = sys.argv
+    sys.argv = ["bench_search.py", str(step.get("n", 5)),
+                str(step.get("games", 100))]
+    try:
+        bench_search.main()
+    finally:
+        sys.argv = argv_save
 
 
 def run_check(_store, _step):
@@ -93,7 +126,8 @@ def main():
     plan = json.load(open(sys.argv[1]))
     store = open_store("local", root="~/.tpu2048")
     handlers = {"train": run_train, "eval": run_eval, "bench": run_bench,
-                "check": run_check}
+                "check": run_check, "probe": run_probe,
+                "search_bench": run_search_bench}
     for i, step in enumerate(plan):
         t0 = time.time()
         print(f"\n##### step {i}: {step.get('kind')} #####", flush=True)

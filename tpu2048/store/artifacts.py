@@ -219,8 +219,18 @@ class S3Store(_SerializingStore):
     def load_bytes(self, key: str):  # pragma: no cover
         try:
             return self._bucket.Object(key).get()["Body"].read()
-        except Exception:
-            return None
+        except self._s3.meta.client.exceptions.NoSuchKey:
+            return None  # missing key == None, like the other stores
+        except Exception as e:
+            # auth/network errors must NOT read as "no such artifact":
+            # surface them (a silent None here could e.g. make resume
+            # start from scratch over a transient outage)
+            import logging
+
+            logging.getLogger("tpu2048.store").error(
+                "S3 read %s/%s failed: %s", self._name, key, e
+            )
+            raise
 
     def append_text(self, key: str, text: str) -> None:  # pragma: no cover
         cur = self.load_bytes(key) or b""
