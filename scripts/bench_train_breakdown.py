@@ -25,13 +25,21 @@ from tpu2048.features.symmetry import symmetrize_sum
 from tpu2048.ops import dispatch
 
 
+def _sync(out):
+    # device-side ravel+slice THEN transfer 4 bytes: np.asarray on the
+    # full leaf would drag the whole table through the axon tunnel
+    # (~250 MB/s) and time the network, not the chip.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
 def timeit(fn, *args, reps=5):
     out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    _sync(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    _sync(out)
     return (time.time() - t0) / reps
 
 
@@ -56,6 +64,13 @@ def main():
     idx1 = ntuple.feature_indices(ts, boards)  # (N, F)
     dw = jax.random.normal(jax.random.PRNGKey(1), (envs,)) * 1e-3
     valid = jnp.ones((envs,), bool)
+
+    # (0) achievable dense-pass rate on this table size (roofline)
+    f_axpy = jax.jit(lambda a, b: a + 0.5 * b)
+    dt = timeit(f_axpy, weights, weights)
+    gb = weights.nbytes * 3 / 1e9
+    print(f"dense axpy (1 pass, {gb:.2f} GB): {dt*1e3:8.2f} ms "
+          f"({gb/dt:6.1f} GB/s)", flush=True)
 
     # (a) full 4-afterstate expansion + evaluation (the actor side)
     ev = dispatch.make_evaluator(ts, "auto")

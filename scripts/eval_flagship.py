@@ -41,7 +41,7 @@ def main():
     args = p.parse_args()
 
     store = open_store("local", root="~/.tpu2048")
-    acfg, weights, meta = ckpt.load_agent(store, args.agent)
+    acfg, weights, meta = ckpt.load_agent_dense(store, args.agent)
     ts = ntuple.get_tuple_set(acfg.n)
     print(f"agent {args.agent}: n={acfg.n}, "
           f"episodes={meta.get('episodes')}, "

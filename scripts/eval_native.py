@@ -40,7 +40,7 @@ def main():
 
     assert native.available(), "native engine failed to build"
     store = open_store("local", root="~/.tpu2048")
-    acfg, weights, meta = ckpt.load_agent(store, args.agent)
+    acfg, weights, meta = ckpt.load_agent_dense(store, args.agent)
     ts = ntuple.get_tuple_set(acfg.n)
     w = np.ascontiguousarray(np.asarray(weights), np.float32)
     print(f"agent {args.agent}: n={acfg.n}, episodes={meta.get('episodes')}, "

@@ -48,7 +48,7 @@ def run_train(store, step):
 
 def run_eval(store, step):
     name = step["agent"]
-    acfg, weights, meta = ckpt.load_agent(store, name)
+    acfg, weights, meta = ckpt.load_agent_dense(store, name)
     ts = ntuple.get_tuple_set(acfg.n)
     print(f"===== eval {name} (n={acfg.n}, "
           f"episodes={meta.get('episodes')}) "

@@ -83,11 +83,25 @@ def record_env_count(tcfg: TrainConfig) -> int:
 def _num_sym(acfg: AgentConfig) -> int:
     """Width of the per-step scatter index block: 8 board images only
     for the explicit-index "scatter" implementation; identity for the
-    dense-fold implementation and the "periodic"/"none" modes (the 8x
-    coupling arrives through table transforms instead of indices)."""
+    dense-fold / canonical implementations and the "periodic"/"none"
+    modes (the 8x coupling arrives through table transforms or
+    canonical-orbit indices instead)."""
     if acfg.sym_mode == "scatter" and acfg.sym_impl == "index":
         return 8
     return 1
+
+
+def _is_canonical(acfg: AgentConfig) -> bool:
+    return acfg.sym_mode == "scatter" and acfg.sym_impl == "canonical"
+
+
+def _canon_feat_count(ts: ntuple.TupleSet, acfg: AgentConfig) -> int:
+    """K: gather-class feature count under canonical mode, else 0."""
+    if not _is_canonical(acfg):
+        return 0
+    from ..features.canonical import gather_feat_count
+
+    return gather_feat_count(ts)
 
 
 class TDState(NamedTuple):
@@ -106,6 +120,11 @@ class TDState(NamedTuple):
     key: jax.Array
     metrics: Metrics
     recorder: Recorder
+    # canonical-orbit indices/multiplicities of the prev afterstate's
+    # gather-class features ((N, K) under sym_impl="canonical", (N, 0)
+    # placeholders otherwise — see features/canonical.py)
+    prev_cidx: jax.Array
+    prev_cmult: jax.Array
 
 
 def _round4(x: jax.Array) -> jax.Array:
@@ -202,6 +221,7 @@ def init_td_state(
     )
     tc = acfg.optimizer == "tc"
     opt_shape = (ts.total,) if tc else (0,)
+    kc = _canon_feat_count(ts, acfg)
     return TDState(
         weights=weights,
         opt_e=jnp.zeros(opt_shape, jnp.float32),
@@ -216,6 +236,8 @@ def init_td_state(
         key=key,
         metrics=met,
         recorder=rec,
+        prev_cidx=jnp.zeros((n, kc), jnp.int32),
+        prev_cmult=jnp.zeros((n, kc), jnp.int32),
     )
 
 
@@ -230,8 +252,12 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
 
     from ..ops import dispatch as table_dispatch
 
+    canon_step = _is_canonical(acfg)
     select = make_select_greedy(
-        ts, table_dispatch.make_evaluator(ts, acfg.table_ops)
+        ts,
+        table_dispatch.make_evaluator(
+            ts, acfg.table_ops, canonical=canon_step
+        ),
     )
     tc_mode = acfg.optimizer == "tc"
     # per-step dense symmetrization: scatter identity features into a
@@ -247,16 +273,30 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             both = symmetrize_sum(ts, jnp.stack([dsum, hits]))
             return both[0], both[1]
 
-    if tc_mode or fold_step:
+    if canon_step:
+        # Canonical-index learner (features/canonical.py): per-move D4
+        # coupling of the big gather classes rides the INDICES (one
+        # sparse gather/scatter at the orbit minimum), so the per-step
+        # cost is O(batch); only the small MXU classes still fold
+        # densely — class-local, a few MB instead of the whole table.
+        from ..features.canonical import canonical_gather_indices
+        from ..features.symmetry import symmetrize_class_sum
+
+        classes_c, class_grads = table_dispatch.make_class_grads(
+            ts, acfg.table_ops
+        )
+    elif tc_mode or fold_step:
         accumulate = table_dispatch.make_delta_accumulator(
             ts, acfg.table_ops
         )
-    if not tc_mode and not fold_step:
+    if not tc_mode and not fold_step and not canon_step:
         update = table_dispatch.make_updater(
             ts, acfg.table_ops, mean=(acfg.update_mode == "mean")
         )
 
-    eval_fn = table_dispatch.make_evaluator(ts, acfg.table_ops)
+    eval_fn = table_dispatch.make_evaluator(
+        ts, acfg.table_ops, canonical=canon_step
+    )
     codes_mode = acfg.engine_mode == "codes"
     if codes_mode:
         from ..engine import fast as engf
@@ -313,7 +353,104 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         valid_flat = jnp.broadcast_to(
             state.prev_valid[:, None], (n, num_sym)
         ).reshape(-1)
-        if tc_mode:
+        if canon_step:
+            delta = jnp.where(state.prev_valid, td_err, 0.0) / jnp.float32(
+                num_feat
+            )
+            if not tc_mode:
+                delta = delta * state.alpha
+            weights, opt_e, opt_a = (
+                state.weights, state.opt_e, state.opt_a
+            )
+            # small MXU classes: per-class (dsum, hits) blocks + the
+            # class-local D4 fold, then the optimizer rule on the
+            # block only (a few MB of traffic, never the full table)
+            blocks = class_grads(idx_flat, delta, state.prev_valid)
+            for c, (dsum_b, hits_b) in zip(classes_c.matmul, blocks):
+                size1 = c.h * c.l
+                pair = jnp.stack(
+                    [dsum_b.reshape(c.g, size1),
+                     hits_b.reshape(c.g, size1)]
+                )
+                pair = symmetrize_class_sum(ts, c.feat0, c.g, pair)
+                dsum_f = pair[0].reshape(c.g * size1)
+                hits_f = pair[1].reshape(c.g * size1)
+                nsz = c.g * size1
+                w_blk = jax.lax.dynamic_slice(weights, (c.start,), (nsz,))
+                if tc_mode:
+                    dbar = dsum_f / jnp.maximum(hits_f, 1.0)
+                    e_blk = jax.lax.dynamic_slice(
+                        opt_e, (c.start,), (nsz,)
+                    )
+                    a_blk = jax.lax.dynamic_slice(
+                        opt_a, (c.start,), (nsz,)
+                    )
+                    lr_b = jnp.where(
+                        a_blk > 0.0,
+                        jnp.abs(e_blk) / jnp.maximum(a_blk, 1e-30),
+                        1.0,
+                    )
+                    weights = jax.lax.dynamic_update_slice(
+                        weights, w_blk + state.alpha * lr_b * dbar,
+                        (c.start,),
+                    )
+                    opt_e = jax.lax.dynamic_update_slice(
+                        opt_e, e_blk + dbar, (c.start,)
+                    )
+                    opt_a = jax.lax.dynamic_update_slice(
+                        opt_a, a_blk + jnp.abs(dbar), (c.start,)
+                    )
+                else:
+                    upd = (dsum_f / jnp.maximum(hits_f, 1.0)
+                           if acfg.update_mode == "mean" else dsum_f)
+                    weights = jax.lax.dynamic_update_slice(
+                        weights, w_blk + upd, (c.start,)
+                    )
+            # big gather classes: ONE sparse op set at the canonical
+            # orbit indices.  "sum" scatters mult*delta (the exact
+            # 8-image totals, orbit-stabilizer).  "mean" divides each
+            # hit by the entry's total hit count this step, computed
+            # with one dense counting scatter — canonicalization makes
+            # collisions COMMON, not rare (near-empty boards share
+            # orbits: a board's own 4 crosses often canonicalize to one
+            # entry), so per-entry normalization must be exact to match
+            # the validated fold/index collision-mean numerics.
+            if state.prev_cidx.shape[1]:
+                cidx = state.prev_cidx
+                per = jnp.broadcast_to(
+                    delta[:, None], cidx.shape
+                )
+                if acfg.update_mode == "sum":
+                    per = per * state.prev_cmult.astype(jnp.float32)
+                per = jnp.where(
+                    state.prev_valid[:, None], per, 0.0
+                )
+                if acfg.update_mode == "mean":
+                    contrib = jnp.broadcast_to(
+                        state.prev_valid[:, None], cidx.shape
+                    ).astype(jnp.float32)
+                    hits_g = jnp.zeros(
+                        (ts.total,), jnp.float32
+                    ).at[cidx].add(contrib, mode="drop")
+                    per = per / jnp.maximum(hits_g[cidx], 1.0)
+                if tc_mode:
+                    e_g = opt_e[cidx]
+                    a_g = opt_a[cidx]
+                    lr_g = jnp.where(
+                        a_g > 0.0,
+                        jnp.abs(e_g) / jnp.maximum(a_g, 1e-30),
+                        1.0,
+                    )
+                    weights = weights.at[cidx].add(
+                        state.alpha * lr_g * per, mode="drop"
+                    )
+                    opt_e = opt_e.at[cidx].add(per, mode="drop")
+                    opt_a = opt_a.at[cidx].add(
+                        jnp.abs(per), mode="drop"
+                    )
+                else:
+                    weights = weights.at[cidx].add(per, mode="drop")
+        elif tc_mode:
             # Temporal coherence (Jaskowski 2016): per-weight rate
             # |E|/A, self-annealing; alpha is a global meta-rate.
             delta = jnp.where(state.prev_valid, td_err, 0.0) / jnp.float32(
@@ -473,6 +610,14 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         prev_idx = jnp.where(done[:, None, None], state.prev_idx, sym_idx)
         prev_value = jnp.where(done, 0.0, best_val)
         prev_valid = ~done
+        if canon_step and state.prev_cidx.shape[1]:
+            cidx_n, cmult_n = canonical_gather_indices(ts, chosen_cells)
+            prev_cidx = jnp.where(done[:, None], state.prev_cidx, cidx_n)
+            prev_cmult = jnp.where(
+                done[:, None], state.prev_cmult, cmult_n
+            )
+        else:
+            prev_cidx, prev_cmult = state.prev_cidx, state.prev_cmult
 
         recorder = Recorder(
             moves=moves_buf,
@@ -499,6 +644,8 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             key=key,
             metrics=metrics,
             recorder=recorder,
+            prev_cidx=prev_cidx,
+            prev_cmult=prev_cmult,
         )
 
     return train_step

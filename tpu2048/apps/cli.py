@@ -99,7 +99,7 @@ def replay_game(store: ArtifactStore, name: str, speed_ms: int = 200,
 def watch_agent(store: ArtifactStore, name: str, speed_ms: int = 200,
                 depth: int = 0, width: int = 1, since_empty: int = 6,
                 max_moves: Optional[int] = None, out=sys.stdout) -> None:
-    acfg, weights, _ = ckpt.load_agent(store, name)
+    acfg, weights, _ = ckpt.load_agent_dense(store, name)
     ts = ntuple.get_tuple_set(acfg.n)
     try:
         from .. import native as native_mod
@@ -152,7 +152,7 @@ def trial_and_replay(store: ArtifactStore, name: str, num: int = 100,
     from ..obs.logging import Logger
     from ..train.trial import trial
 
-    acfg, weights, _ = ckpt.load_agent(store, name)
+    acfg, weights, _ = ckpt.load_agent_dense(store, name)
     ts = ntuple.get_tuple_set(acfg.n)
     res = trial(ts, jnp.asarray(weights), num=num,
                 logger=Logger(console=True))

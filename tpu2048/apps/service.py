@@ -298,6 +298,23 @@ class AppService:
             se = src_meta.get("extras", {})
             if "opt_e" in se:
                 extras = {"opt_e": se["opt_e"], "opt_a": se["opt_a"]}
+        # table-representation conversion when the fork changes the
+        # symmetry impl (canonical-orbit form <-> dense, see
+        # features/canonical.py); TC accumulators convert the same way
+        from ..features import canonical as canon
+
+        if canon.is_canonical(src_cfg) != canon.is_canonical(acfg):
+            import jax.numpy as jnp
+
+            ts = ntuple.get_tuple_set(acfg.n)
+            conv = (canon.to_dense_table if canon.is_canonical(src_cfg)
+                    else canon.from_dense_table)
+            weights = np.asarray(conv(ts, jnp.asarray(weights)))
+            if extras is not None:
+                extras = {
+                    k: np.asarray(conv(ts, jnp.asarray(v)))
+                    for k, v in extras.items()
+                }
         meta = {
             "episodes": 0,
             "alpha": acfg.alpha,
@@ -354,7 +371,7 @@ class AppService:
             raise ValueError(f"unknown policy: {policy}")
         else:
             policy = "value"
-            acfg, weights, _ = ckpt.load_agent(self.store, name)
+            acfg, weights, _ = ckpt.load_agent_dense(self.store, name)
             ts = ntuple.get_tuple_set(acfg.n)
 
         def body(job: Job):
@@ -399,7 +416,7 @@ class AppService:
         """
         if backend not in ("auto", "native", "python", "device"):
             raise ValueError(f"unknown watch backend: {backend}")
-        acfg, weights, _ = ckpt.load_agent(self.store, name)
+        acfg, weights, _ = ckpt.load_agent_dense(self.store, name)
         ts = ntuple.get_tuple_set(acfg.n)
         w = np.asarray(weights)
 

@@ -120,7 +120,7 @@ class Viewer:
 
     def watch(self, store: ArtifactStore, name: str, speed_ms: int = 200,
               depth: int = 0, width: int = 1, since_empty: int = 6) -> None:
-        acfg, weights, _ = ckpt.load_agent(store, name)
+        acfg, weights, _ = ckpt.load_agent_dense(store, name)
         ts = ntuple.get_tuple_set(acfg.n)
         est = np_estimator(ts, np.asarray(weights))
         game = ParityGame(rng=random.Random())

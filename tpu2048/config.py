@@ -55,16 +55,27 @@ class AgentConfig:
     # "none": no symmetry coupling at all (ablation).
     sym_mode: str = "scatter"
     # How "scatter" (per-move 8-image) updates are realized:
+    # "canonical": weights live at ONE representative entry per D4
+    #   orbit (the orbit-minimal index, features/canonical.py); reads
+    #   and updates of the big 16^5/14^6 gather classes become a single
+    #   sparse gather/scatter with the symmetry carried by the index
+    #   normalization itself — per-move 8-image semantics at O(batch)
+    #   cost, no dense table passes.  The small MXU classes keep their
+    #   matmul path with a class-local fold.  The default (fastest;
+    #   same per-entry numerics as "fold"/"index" under "mean", exact
+    #   orbit-stabilizer totals under "sum").
     # "fold": scatter IDENTITY features into a dense per-step delta and
     #   add its 7 non-identity D4 table transforms (reshape+transpose
     #   copies at HBM bandwidth) — the same per-move totals as the
     #   8-image scatter (f32 summation order aside), at 1/8th the index
-    #   traffic.  This is what makes the 16^5/14^6 tables (which have no
-    #   MXU decomposition and ride latency-bound XLA gather/scatter)
-    #   trainable fast.  The default.
+    #   traffic; the dense passes over the table dominate at n=6.
     # "index": explicit (N, 8, F) symmetry-image indices, the reference's
     #   literal per-move scatter order (kept for sequential-equivalence
     #   tests and bitwise reproduction of round-2 runs).
+    # NOTE: "canonical" stores the table in canonical-orbit form; use
+    # features.canonical.to_dense_table when exporting weights to an
+    # identity-index consumer (trial, native engine, watch bodies) —
+    # store/checkpoint.load_agent_dense does this automatically.
     sym_impl: str = "fold"
     # How weight-table lookups/updates hit the hardware (identical
     # numerics up to ~2^-18 rounding, see tpu2048/ops/dispatch.py):

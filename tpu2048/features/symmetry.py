@@ -152,6 +152,47 @@ def symmetrize_sum(ts: TupleSet, delta: jax.Array) -> jax.Array:
     return y
 
 
+def _apply_class_transform(
+    ts: TupleSet, block: jax.Array, maps, feat0: int, g: int
+) -> jax.Array:
+    """T_s restricted to one size class: ``block`` is (..., g, size)
+    holding the class's g per-tuple tables.  The feature relabeling of
+    every T_s maps same-size tables among themselves (the cell-set
+    image keeps the base and arity), so the restriction is closed."""
+    from ..ops.digit_perm import digit_transpose
+
+    _offsets, _sizes, bases, ks, _classes = _table_geometry(ts)
+    base, k = bases[feat0], ks[feat0]
+    pieces = [None] * g
+    by_perm = {}
+    for ft, fs, perm in maps:
+        if feat0 <= ft < feat0 + g:
+            assert feat0 <= fs < feat0 + g, "class not closed under D4"
+            by_perm.setdefault(perm, []).append((ft - feat0, fs - feat0))
+    for perm, pairs in by_perm.items():
+        fs_l = jnp.asarray([fs for _, fs in pairs])
+        src = jnp.take(block, fs_l, axis=-2)  # (..., |pairs|, size)
+        tr = digit_transpose(src, base, k, perm)
+        for i, (ft, _) in enumerate(pairs):
+            pieces[ft] = tr[..., i, :]
+    return jnp.stack(pieces, axis=-2)
+
+
+def symmetrize_class_sum(
+    ts: TupleSet, feat0: int, g: int, block: jax.Array
+) -> jax.Array:
+    """``symmetrize_sum`` restricted to one size class's (..., g, size)
+    block — same 3-doubling-pass factorization, touching only the
+    class's bytes.  Used by the canonical-index learner, where only
+    the small MXU classes still fold densely (the big classes carry
+    their symmetry in the indices — see features/canonical.py)."""
+    transforms = build_sym_transforms(ts.n)
+    y = block + _apply_class_transform(ts, block, transforms[0], feat0, g)
+    y = y + _apply_class_transform(ts, y, transforms[3], feat0, g)
+    y = y + _apply_class_transform(ts, y, transforms[1], feat0, g)
+    return y
+
+
 def fold_other_symmetries(ts: TupleSet, delta: jax.Array) -> jax.Array:
     """sum over the 7 non-identity D4 transforms of ``delta``.
 

@@ -44,10 +44,51 @@ def resolve_mode(mode: str) -> str:
     return mode
 
 
-def make_evaluator(ts: TupleSet, mode: str) -> Callable:
-    """Returns eval_fn(weights, flat_boards (..., 16)) -> (...,) f32."""
+def _gather_class_values(ts, classes, weights, flat_boards, idx2,
+                         canonical: bool):
+    """Sum of the gather-path features' weights: identity indices, or
+    canonical-orbit indices when the table is in canonical form (see
+    features/canonical.py)."""
+    if canonical:
+        from ..features.canonical import canonical_gather_indices
+
+        shape = flat_boards.shape[:-1]
+        b = int(np.prod(shape)) if shape else 1
+        cidx, _mult = canonical_gather_indices(ts, flat_boards)
+        return weights[cidx.reshape(b, -1)].sum(axis=-1)
+    gf = jnp.asarray(classes.gather_feats)
+    return weights[idx2[:, gf]].sum(axis=-1)
+
+
+def make_evaluator(ts: TupleSet, mode: str, canonical: bool = False) -> Callable:
+    """Returns eval_fn(weights, flat_boards (..., 16)) -> (...,) f32.
+
+    ``canonical=True`` reads the large gather-path classes at their
+    canonical-orbit indices (the representation the canonical-index
+    learner trains); the MXU matmul classes always use identity
+    indices in either representation.
+    """
     mode = resolve_mode(mode)
     if mode == "gather":
+        if canonical:
+            classes_g = oh.build_table_classes(ts)
+
+            def eval_gather_canon(weights, flat_boards):
+                shape = flat_boards.shape[:-1]
+                b = int(np.prod(shape)) if shape else 1
+                idx2 = feature_indices(ts, flat_boards).reshape(
+                    b, ts.num_feat
+                )
+                total = jnp.zeros((b,), jnp.float32)
+                for c in classes_g.matmul:
+                    cols = idx2[:, c.feat0: c.feat0 + c.g]
+                    total = total + weights[cols].sum(axis=-1)
+                total = total + _gather_class_values(
+                    ts, classes_g, weights, flat_boards, idx2, True
+                )
+                return total.reshape(shape)
+
+            return eval_gather_canon
 
         def eval_gather(weights, flat_boards):
             idx = feature_indices(ts, flat_boards)
@@ -59,8 +100,27 @@ def make_evaluator(ts: TupleSet, mode: str) -> Callable:
     if mode == "onehot":
 
         def eval_onehot(weights, flat_boards):
-            idx = feature_indices(ts, flat_boards)
-            return oh.onehot_eval(ts, classes, weights, idx)
+            shape = flat_boards.shape[:-1]
+            b = int(np.prod(shape)) if shape else 1
+            idx = feature_indices(ts, flat_boards).reshape(b, ts.num_feat)
+            total = jnp.zeros((b,), jnp.float32)
+            for c in classes.matmul:
+                tables = oh._class_tables(weights, c)
+                hi, lo = oh._hi_lo(ts, idx, c)
+                oh_hi = jax.nn.one_hot(hi, c.h, dtype=jnp.float32)
+                m = jnp.einsum(
+                    "bgh,ghl->bgl",
+                    oh_hi,
+                    tables,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                v = jnp.take_along_axis(m, lo[..., None], axis=-1)[..., 0]
+                total = total + v.sum(axis=-1)
+            if len(classes.gather_feats):
+                total = total + _gather_class_values(
+                    ts, classes, weights, flat_boards, idx, canonical
+                )
+            return total.reshape(shape)
 
         return eval_onehot
 
@@ -87,8 +147,9 @@ def make_evaluator(ts: TupleSet, mode: str) -> Callable:
                     tables, hi, lo, tb, precision="bf16"
                 )
             if len(classes.gather_feats):
-                gf = jnp.asarray(classes.gather_feats)
-                total = total + weights[idx[:, gf]].sum(axis=-1)
+                total = total + _gather_class_values(
+                    ts, classes, weights, flat_boards, idx, canonical
+                )
             return total.reshape(shape)
 
         return eval_search
@@ -107,8 +168,9 @@ def make_evaluator(ts: TupleSet, mode: str) -> Callable:
                 hi, lo = oh._hi_lo(ts, idx, c)
                 total = total + pk.eval_class(tables, hi, lo, tb)
             if len(classes.gather_feats):
-                gf = jnp.asarray(classes.gather_feats)
-                total = total + weights[idx[:, gf]].sum(axis=-1)
+                total = total + _gather_class_values(
+                    ts, classes, weights, flat_boards, idx, canonical
+                )
             return total.reshape(shape)
 
         return eval_pallas
@@ -175,6 +237,62 @@ def make_delta_accumulator(ts: TupleSet, mode: str) -> Callable:
         return acc_pallas
 
     raise ValueError(f"unknown table op mode: {mode}")
+
+
+def make_class_grads(ts: TupleSet, mode: str):
+    """Per-class (dsum, hits) gradient blocks for the MXU matmul
+    classes ONLY — never materializes full-table arrays (the canonical
+    -index learner handles the big gather classes sparsely instead).
+
+    Returns ``(classes, fn)`` with
+    ``fn(idx (B, F), dw (B,), valid (B,)) ->
+        [(dsum (g, h, l), hits (g, h, l)), ...]`` aligned with
+    ``classes.matmul``.  Pallas on TPU, one-hot einsums elsewhere;
+    identical numerics up to the bf16x2 split (~2^-18).
+    """
+    mode = resolve_mode(mode)
+    classes = oh.build_table_classes(ts)
+    if mode in ("pallas", "search"):
+        from . import pallas_kernels as pk
+
+        grads = {
+            (c.h, c.l): pk.grad_for(c.h, c.l) for c in classes.matmul
+        }
+
+        def fn_pallas(idx, dw, valid):
+            tb = _pick_tb(idx.shape[0])
+            out = []
+            for c in classes.matmul:
+                hi, lo = oh._hi_lo(ts, idx, c)
+                out.append(grads[(c.h, c.l)](hi, lo, dw, valid, tb))
+            return out
+
+        return classes, fn_pallas
+
+    def fn_xla(idx, dw, valid):
+        dwv = jnp.where(valid, dw, 0.0).astype(jnp.float32)
+        cv = valid.astype(jnp.float32)
+        out = []
+        for c in classes.matmul:
+            hi, lo = oh._hi_lo(ts, idx, c)
+            oh_hi = jax.nn.one_hot(hi, c.h, dtype=jnp.float32)
+            oh_lo = jax.nn.one_hot(lo, c.l, dtype=jnp.float32)
+            dsum = jnp.einsum(
+                "bgh,bgl->ghl",
+                oh_hi,
+                oh_lo * dwv[:, None, None],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            hits = jnp.einsum(
+                "bgh,bgl->ghl",
+                oh_hi,
+                oh_lo * cv[:, None, None],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out.append((dsum, hits))
+        return out
+
+    return classes, fn_xla
 
 
 def make_updater(ts: TupleSet, mode: str, mean: bool) -> Callable:

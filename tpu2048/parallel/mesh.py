@@ -87,6 +87,8 @@ def td_state_shardings(mesh: Mesh, engine_mode: str = "cells",
         prev_idx=data,
         prev_value=data,
         prev_valid=data,
+        prev_cidx=data,
+        prev_cmult=data,
         key=rep,
         metrics=Metrics(
             episodes=rep,

@@ -80,6 +80,26 @@ def load_agent(
     return acfg, w["weights"], meta
 
 
+def load_agent_dense(
+    store: ArtifactStore, name: str
+) -> Tuple[AgentConfig, np.ndarray, Dict[str, Any]]:
+    """``load_agent`` for identity-index consumers (trial, watch
+    bodies, the native engine, the viewer): an agent trained in
+    canonical-orbit form (``sym_impl="canonical"``) is expanded to the
+    equivalent orbit-constant dense table; anything else passes
+    through unchanged.  One fold pass over the table, host-side."""
+    acfg, weights, meta = load_agent(store, name)
+    from ..features.canonical import is_canonical, to_dense_table
+    from ..features.ntuple import get_tuple_set
+
+    if is_canonical(acfg):
+        import jax.numpy as jnp
+
+        ts = get_tuple_set(acfg.n)
+        weights = np.asarray(to_dense_table(ts, jnp.asarray(weights)))
+    return acfg, weights, meta
+
+
 def save_game(store: ArtifactStore, name: str, record: Dict[str, Any]) -> None:
     """Game record: starting board + move/spawn logs (replayable)."""
     store.save(

@@ -82,6 +82,27 @@ class Trainer:
                     f"agent '{name}' has n={loaded_cfg.n}, requested n={acfg.n}"
                 )
             weights = np.asarray(w)
+            # resume-and-retune may flip the symmetry impl: convert
+            # between canonical-orbit and dense table representations
+            # (weights AND TC accumulators — features/canonical.py)
+            from ..features import canonical as canon
+
+            if canon.is_canonical(loaded_cfg) != canon.is_canonical(acfg):
+                import jax.numpy as jnp
+
+                conv = (canon.to_dense_table
+                        if canon.is_canonical(loaded_cfg)
+                        else canon.from_dense_table)
+                weights = np.asarray(conv(self.ts, jnp.asarray(weights)))
+                if "extras" in meta:
+                    meta = {
+                        **meta,
+                        "extras": {
+                            k: np.asarray(conv(self.ts, jnp.asarray(v)))
+                            if np.asarray(v).shape == weights.shape else v
+                            for k, v in meta["extras"].items()
+                        },
+                    }
             self.train_history = list(meta.get("train_history", []))
             self._provenance = {
                 k: meta[k] for k in ("forked_from", "source_episodes")
