@@ -1,0 +1,173 @@
+"""Microbenchmark: canonical-index train-step components.
+
+Times each piece of the sym_impl="canonical" TD step in isolation on
+the live backend, to direct the champion-defaults throughput push
+(round-2 verdict item 3: >=2M env-steps/s for AgentConfig defaults).
+
+Usage: python scripts/bench_canon_breakdown.py [n] [num_envs]
+Run alone on an idle TPU (serialize with training sessions).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu2048.agent import td
+from tpu2048.config import AgentConfig, TrainConfig
+from tpu2048.engine import fast as engf
+from tpu2048.features import canonical as canon
+from tpu2048.features import ntuple
+from tpu2048.features.symmetry import symmetrize_class_sum
+from tpu2048.ops import dispatch
+
+
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def timeit(fn, *args, reps=10):
+    out = fn(*args)
+    _sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    _sync(out)
+    return (time.time() - t0) / reps
+
+
+def main():
+    if "--cpu" in sys.argv:
+        sys.argv.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    envs = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    ts = ntuple.get_tuple_set(n)
+    key = jax.random.PRNGKey(0)
+    weights = ntuple.init_weights(ts, key)
+    acfg = AgentConfig(n=n, sym_impl="canonical")
+    tcfg = TrainConfig(num_envs=envs, steps_per_call=64)
+    print(f"backend={jax.default_backend()} n={n} envs={envs}", flush=True)
+
+    codes = engf.new_codes(envs, key)
+    for _ in range(3):
+        aft, _, legal, _t = engf.afterstates_full(codes)
+        codes = jnp.where(legal.any(0)[:, None], aft[0], codes)
+    cells = jnp.asarray(np.asarray(engf.cells_from_codes(codes)), jnp.int8)
+    cells4 = jnp.broadcast_to(cells[None], (4,) + cells.shape).reshape(
+        4 * envs, 16
+    )
+    dw = jax.random.normal(jax.random.PRNGKey(1), (envs,)) * 1e-3
+    valid = jnp.ones((envs,), bool)
+
+    # (a) engine expansion only
+    f = jax.jit(lambda cd: engf.afterstates_full(cd))
+    print(f"afterstates_full:           {timeit(f, codes)*1e3:8.2f} ms",
+          flush=True)
+
+    # (b) canonical orbit indices, actor batch (4N) and prev batch (N)
+    f4 = jax.jit(lambda c: canon.canonical_gather_indices(ts, c))
+    print(f"canon idx (4N boards):      {timeit(f4, cells4)*1e3:8.2f} ms",
+          flush=True)
+    print(f"canon idx (N boards):       {timeit(f4, cells)*1e3:8.2f} ms",
+          flush=True)
+
+    # (c) evaluator variants on the 4N actor batch
+    for mode, canonical in (("pallas", True), ("pallas", False),
+                            ("gather", True)):
+        try:
+            ev = dispatch.make_evaluator(ts, mode, canonical=canonical)
+        except Exception as e:  # pallas off-TPU
+            print(f"eval[{mode} canon={canonical}]: skipped ({e})")
+            continue
+        f = jax.jit(lambda w, c, _ev=ev: _ev(w, c).sum())
+        print(f"eval[{mode} canon={int(canonical)}] 4N: "
+              f"{timeit(f, weights, cells4)*1e3:8.2f} ms", flush=True)
+
+    # (d) matmul-class grads + class fold + block TC
+    classes, grads = dispatch.make_class_grads(ts, "auto")
+    idx = ntuple.feature_indices(ts, cells)
+
+    def blocks_only(i, d, v):
+        out = grads(i, d, v)
+        return out[0][0].sum()
+
+    print(f"class grads (pallas):       "
+          f"{timeit(jax.jit(blocks_only), idx, dw, valid)*1e3:8.2f} ms",
+          flush=True)
+
+    def blocks_fold_tc(w, e, a, alpha, i, d, v):
+        outs = []
+        for c, (dsum_b, hits_b) in zip(classes.matmul, grads(i, d, v)):
+            size1 = c.h * c.l
+            pair = jnp.stack([dsum_b.reshape(c.g, size1),
+                              hits_b.reshape(c.g, size1)])
+            pair = symmetrize_class_sum(ts, c.feat0, c.g, pair)
+            nsz = c.g * size1
+            dbar = pair[0].reshape(nsz) / jnp.maximum(
+                pair[1].reshape(nsz), 1.0)
+            w_blk = jax.lax.dynamic_slice(w, (c.start,), (nsz,))
+            e_blk = jax.lax.dynamic_slice(e, (c.start,), (nsz,))
+            a_blk = jax.lax.dynamic_slice(a, (c.start,), (nsz,))
+            lr = jnp.where(a_blk > 0, jnp.abs(e_blk) /
+                           jnp.maximum(a_blk, 1e-30), 1.0)
+            w = jax.lax.dynamic_update_slice(
+                w, w_blk + alpha * lr * dbar, (c.start,))
+            e = jax.lax.dynamic_update_slice(e, e_blk + dbar, (c.start,))
+            a = jax.lax.dynamic_update_slice(
+                a, a_blk + jnp.abs(dbar), (c.start,))
+        return w, e, a
+
+    z = jnp.zeros_like(weights)
+    alpha = jnp.float32(1.0)
+    print(f"class grads+fold+TC blocks: "
+          f"{timeit(jax.jit(blocks_fold_tc), weights, z, z, alpha, idx, dw, valid)*1e3:8.2f} ms",
+          flush=True)
+
+    # (e) sparse gather-class TC (hits + lr gathers + 3 scatters)
+    cidx, mult = canon.canonical_gather_indices(ts, cells)
+
+    def sparse_tc(w, e, a, alpha, ci, d, v):
+        per = jnp.broadcast_to(d[:, None], ci.shape)
+        per = jnp.where(v[:, None], per, 0.0)
+        contrib = jnp.broadcast_to(v[:, None], ci.shape).astype(jnp.float32)
+        hits = jnp.zeros_like(w).at[ci].add(contrib, mode="drop")
+        per = per / jnp.maximum(hits[ci], 1.0)
+        e_g, a_g = e[ci], a[ci]
+        lr = jnp.where(a_g > 0, jnp.abs(e_g) / jnp.maximum(a_g, 1e-30), 1.0)
+        w = w.at[ci].add(alpha * lr * per, mode="drop")
+        e = e.at[ci].add(per, mode="drop")
+        a = a.at[ci].add(jnp.abs(per), mode="drop")
+        return w, e, a
+
+    if cidx.shape[1]:
+        print(f"sparse gather-class TC:     "
+              f"{timeit(jax.jit(sparse_tc), weights, z, z, alpha, cidx, dw, valid)*1e3:8.2f} ms",
+              flush=True)
+
+    # (f) one full jitted train step (dispatch overhead NOT amortized)
+    st = td.init_td_state(ts, acfg, tcfg, key)
+    step = jax.jit(td.make_train_step(ts, acfg, tcfg))
+    print(f"full train step (1x):       {timeit(step, st)*1e3:8.2f} ms",
+          flush=True)
+
+    # (g) scan-amortized per-step cost (the real number)
+    seg = jax.jit(td.make_train_segment(ts, acfg, tcfg))
+    st = seg(st)
+    _sync(st.alpha)
+    t0 = time.time()
+    for _ in range(3):
+        st = seg(st)
+    _sync(st.alpha)
+    dt = (time.time() - t0) / 3 / tcfg.steps_per_call
+    print(f"scan-amortized step:        {dt*1e3:8.2f} ms "
+          f"({envs/dt/1e3:.0f}k env-steps/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

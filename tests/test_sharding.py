@@ -168,3 +168,32 @@ def test_distributed_single_host_noop(monkeypatch):
     assert m.devices.size == len(jax.devices())
     s = distributed.process_env_slice(128)
     assert (s.start, s.stop) == (0, 128)
+
+
+def test_sharded_canonical_n5_runs_and_learns():
+    """The canonical-index learner (sparse gather/scatter on the 16^5
+    classes + class-block fold) compiles and runs under GSPMD with
+    data-parallel envs: the scatter into the replicated table becomes
+    local scatter + all-reduce, and the new prev_cidx/prev_cmult state
+    shards along data."""
+    ts = ntuple.get_tuple_set(5)
+    acfg = AgentConfig(n=5, sym_impl="canonical", engine_mode="codes",
+                       table_ops="gather")
+    tcfg = TrainConfig(
+        num_envs=64, steps_per_call=16, ring_size=256, record_envs=8,
+        max_record_steps=512, seed=0,
+    )
+    m = pmesh.make_mesh(MeshConfig(data=8, model=1))
+    state = pmesh.init_sharded_td_state(
+        ts, acfg, tcfg, m, jax.random.PRNGKey(0)
+    )
+    assert state.prev_cidx.sharding.spec == P("data")
+    assert state.prev_cidx.shape == (64, 4)  # 4 crosses at n=5
+    seg = pmesh.make_sharded_train_segment(ts, acfg, tcfg, m)
+    for _ in range(6):
+        state = seg(state)
+    # n=5 games run long: assert stepping + learning, not completion
+    assert int(np.asarray(state.env.odometer).min()) > 0
+    w = np.asarray(state.weights)
+    assert np.isfinite(w).all() and np.abs(w).max() > 0.01  # updated
+    assert state.weights.sharding.spec == P()

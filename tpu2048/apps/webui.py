@@ -483,7 +483,12 @@ async function renderAdmin() {
      </details>` : '') +
    `<h4 style="margin:8px 0 4px">Stored files</h4>
    <div class="row"><input type="file" id="up-file">
-   <input id="up-key" placeholder="key e.g. c/myconf.json">
+   <select id="up-kind"><option value="c/">config (c/)</option>
+     <option value="g/">game (g/)</option>
+     <option value="a/">agent (a/)</option>
+     <option value="weights/">weights (weights/)</option>
+     <option value="l/">log (l/)</option></select>
+   <input id="up-key" placeholder="name (default: file name)">
    <button id="up-btn">upload</button></div><table>`;
   for (const f of files)
     html += `<tr><td><a href="/api/files/${encodeURIComponent(f)}"
@@ -499,7 +504,11 @@ async function renderAdmin() {
   $('up-btn').onclick = async () => {
     const file = $('up-file').files[0];
     if (!file) return;
-    const key = $('up-key').value || ('c/' + file.name);
+    // the namespace prefix comes from the chosen kind, like the
+    // reference's upload (application.py:259-299); a name containing
+    // "/" is taken as a full key (advanced use)
+    const name = $('up-key').value || file.name;
+    const key = name.includes('/') ? name : $('up-kind').value + name;
     await fetch('/api/files/' + encodeURIComponent(key),
                 {method: 'PUT', body: await file.arrayBuffer()});
     renderAdmin();
