@@ -82,12 +82,14 @@ def main():
                             ("gather", True)):
         try:
             ev = dispatch.make_evaluator(ts, mode, canonical=canonical)
+            f = jax.jit(lambda w, c, _ev=ev: _ev(w, c).sum())
+            dt = timeit(f, weights, cells4)
         except Exception as e:  # pallas off-TPU
-            print(f"eval[{mode} canon={canonical}]: skipped ({e})")
+            print(f"eval[{mode} canon={canonical}]: skipped "
+                  f"({type(e).__name__})")
             continue
-        f = jax.jit(lambda w, c, _ev=ev: _ev(w, c).sum())
         print(f"eval[{mode} canon={int(canonical)}] 4N: "
-              f"{timeit(f, weights, cells4)*1e3:8.2f} ms", flush=True)
+              f"{dt*1e3:8.2f} ms", flush=True)
 
     # (d) matmul-class grads + class fold + block TC
     classes, grads = dispatch.make_class_grads(ts, "auto")
@@ -148,6 +150,71 @@ def main():
     if cidx.shape[1]:
         print(f"sparse gather-class TC:     "
               f"{timeit(jax.jit(sparse_tc), weights, z, z, alpha, cidx, dw, valid)*1e3:8.2f} ms",
+              flush=True)
+
+    # (e2) in-scan steady-state per-piece costs: 64 iterations of each
+    # piece inside one lax.scan — no per-call dispatch overhead, the
+    # numbers that actually add up to the train-step time.
+    def scanned(body, carry, iters=64):
+        def f(c):
+            out, _ = jax.lax.scan(lambda cc, _: (body(cc), None), c,
+                                  None, length=iters)
+            return out
+        jf = jax.jit(f)
+        dt = timeit(jf, carry, reps=3)
+        return dt / iters
+
+    ev_p = dispatch.make_evaluator(ts, "auto", canonical=True)
+    tperm = jnp.asarray(np.arange(16).reshape(4, 4).T.reshape(16))
+
+    def body_engine(c):
+        cd = c
+        aft, delta, legal, _t = engf.afterstates_full(cd)
+        return jnp.where(legal.any(0)[:, None], aft[0], cd)
+
+    print(f"scan: engine expand:        "
+          f"{scanned(body_engine, codes)*1e3:8.2f} ms", flush=True)
+
+    def body_actor(c):
+        cd, w = c
+        aft, delta, legal, _t = engf.afterstates_full(cd)
+        c4 = engf.cells_from_codes(aft)
+        c4 = jnp.stack([c4[0], c4[1][..., tperm], c4[2], c4[3][..., tperm]])
+        vals = ev_p(w, c4)
+        masked = jnp.where(legal, vals, -jnp.inf)
+        bd = jnp.argmax(masked, axis=0).astype(jnp.int32)
+        ar = jnp.arange(envs)
+        nc = engf.canonicalize_chosen(aft[bd, ar], bd)
+        return (jnp.where(legal.any(0)[:, None], nc, cd),
+                w + masked.sum() * 0)
+
+    print(f"scan: actor (exp+eval+sel): "
+          f"{scanned(body_actor, (codes, weights))*1e3:8.2f} ms",
+          flush=True)
+
+    def body_blocks(c):
+        w, e, a = c
+        return blocks_fold_tc(w, e, a, alpha, idx, dw, valid)
+
+    print(f"scan: class grads+fold+TC:  "
+          f"{scanned(body_blocks, (weights, z, z))*1e3:8.2f} ms",
+          flush=True)
+
+    if cidx.shape[1]:
+        def body_sparse(c):
+            w, e, a = c
+            return sparse_tc(w, e, a, alpha, cidx, dw, valid)
+
+        print(f"scan: sparse gather-TC:     "
+              f"{scanned(body_sparse, (weights, z, z))*1e3:8.2f} ms",
+              flush=True)
+
+        def body_cidx(c):
+            ci, _ = canon.canonical_gather_indices(ts, cells)
+            return c + ci.sum() * 0
+
+        print(f"scan: canon idx (N):        "
+              f"{scanned(body_cidx, jnp.int32(0))*1e3:8.2f} ms",
               flush=True)
 
     # (f) one full jitted train step (dispatch overhead NOT amortized)
