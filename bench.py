@@ -1,12 +1,17 @@
 """Benchmark harness — prints ONE JSON line.
 
 Headline metric: full TD(0) actor-learner training throughput in
-env-steps/s on one chip for the flagship n=4 configuration.  The
-reference trains ~770 env-steps/s on its 1 CPU core (100k episodes /
-~3 days, ~2k moves/episode — README.md:12); vs_baseline is measured
-against that.  Auxiliary fields report engine-only throughput (the
-BASELINE.md 10M north-star row) and evaluation (policy-only)
-throughput.
+env-steps/s on one chip for the SHIPPED AgentConfig defaults — the
+champion quality recipe (n=5 features, temporal-coherence optimizer,
+per-move 8-image symmetry realized through canonical-orbit indices),
+with the default TrainConfig recording (ALL envs logged for true
+best-game capture).  The reference trains ~770 env-steps/s on its
+1 CPU core (100k episodes / ~3 days, ~2k moves/episode —
+README.md:12); vs_baseline is measured against that.  Auxiliary
+fields: the round-1 pinned n=4 configuration (cross-round
+comparability), the n=6 quality-flagship geometry, engine-only
+throughput (the BASELINE.md 10M north-star row), and evaluation
+(policy-only) throughput.
 """
 
 import json
@@ -26,21 +31,18 @@ def _sync(x):
     return np.asarray(x).ravel()[:1]
 
 
-def bench_train(n_envs=8192, k=128, reps=4, acfg=None):
+def bench_train(n_envs=8192, k=128, reps=4, acfg=None, record_envs=-1):
     from tpu2048.agent import td
     from tpu2048.config import AgentConfig, TrainConfig
     from tpu2048.features import ntuple
 
     if acfg is None:
-        # pinned to the round-1 measured configuration (sgd + periodic
-        # symmetry, n=4) so the headline stays comparable across rounds;
-        # the shipped champion defaults are measured separately below
-        acfg = AgentConfig(n=4, optimizer="sgd", sym_mode="periodic",
-                           alpha=0.25)
+        # the shipped defaults: the champion quality recipe
+        acfg = AgentConfig()
     ts = ntuple.get_tuple_set(acfg.n)
     tcfg = TrainConfig(
         num_envs=n_envs, steps_per_call=k, ring_size=8192,
-        record_envs=32, max_record_steps=16384, seed=0,
+        record_envs=record_envs, max_record_steps=16384, seed=0,
     )
     state = td.init_td_state(ts, acfg, tcfg, jax.random.PRNGKey(0))
     seg = jax.jit(td.make_train_segment(ts, acfg, tcfg), donate_argnums=0)
@@ -155,18 +157,28 @@ def main(argv=None):
             bench_train(reps=1)
         print(f"# trace written to {args.trace}", flush=True)
 
-    train_sps = bench_train()
-    champion_sps = bench_train(acfg=AgentConfig())  # shipped defaults
+    champion_sps = bench_train()  # the SHIPPED defaults — headline
+    n4_sps = bench_train(
+        acfg=AgentConfig(n=4, optimizer="sgd", sym_mode="periodic",
+                         alpha=0.25),
+        record_envs=32,  # the round-1/2 pinned setting, comparability
+    )
+    n6_sps = bench_train(
+        acfg=AgentConfig(n=6), reps=2
+    )  # quality-flagship geometry
     engine_sps = bench_engine()
     eval_sps = bench_eval()
     print(
         json.dumps(
             {
-                "metric": "train_env_steps_per_sec_1chip_n4",
-                "value": round(train_sps, 1),
+                "metric": "train_env_steps_per_sec_1chip_defaults",
+                "value": round(champion_sps, 1),
                 "unit": "env-steps/s",
-                "vs_baseline": round(train_sps / REF_TRAIN_STEPS_PER_SEC, 2),
-                "train_champion_defaults_sps": round(champion_sps, 1),
+                "vs_baseline": round(
+                    champion_sps / REF_TRAIN_STEPS_PER_SEC, 2
+                ),
+                "train_n4_pinned_sps": round(n4_sps, 1),
+                "train_n6_flagship_sps": round(n6_sps, 1),
                 "engine_env_steps_per_sec": round(engine_sps, 1),
                 "engine_vs_north_star_10M": round(
                     engine_sps / ENGINE_NORTH_STAR, 3

@@ -76,7 +76,7 @@ class AgentConfig:
     # features.canonical.to_dense_table when exporting weights to an
     # identity-index consumer (trial, native engine, watch bodies) —
     # store/checkpoint.load_agent_dense does this automatically.
-    sym_impl: str = "fold"
+    sym_impl: str = "canonical"
     # How weight-table lookups/updates hit the hardware (identical
     # numerics up to ~2^-18 rounding, see tpu2048/ops/dispatch.py):
     # "auto": fused Pallas kernels on TPU, gather elsewhere;
