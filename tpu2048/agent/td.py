@@ -294,7 +294,9 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
             ts, acfg.table_ops, mean=(acfg.update_mode == "mean")
         )
 
-    eval_fn = table_dispatch.make_evaluator(
+    # codes-path evaluator also returns the index tensors so the
+    # chosen afterstate's features are SELECTED, not recomputed
+    train_ev = table_dispatch.make_train_evaluator(
         ts, acfg.table_ops, canonical=canon_step
     )
     codes_mode = acfg.engine_mode == "codes"
@@ -325,7 +327,9 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
                 [cells4[0], cells4[1][..., perm],
                  cells4[2], cells4[3][..., perm]]
             )
-            vals = eval_fn(state.weights, cells4)  # (4, N)
+            vals, idx4, cidx4, mult4 = train_ev(
+                state.weights, cells4
+            )  # (4, N), (4, N, F), (4, N, K)|None
             masked = jnp.where(legal, vals, -jnp.inf)
             best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
             best_val = masked[best_dir, ar]
@@ -604,6 +608,8 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         # --- next-step bootstrap state -----------------------------------
         if num_sym == 8:
             sym_idx = ntuple.all_symmetry_indices(ts, chosen_cells)
+        elif codes_mode:
+            sym_idx = idx4[best_dir, ar][:, None, :]  # select, no recompute
         else:
             sym_idx = ntuple.feature_indices(ts, chosen_cells)[
                 :, None, :
@@ -612,7 +618,12 @@ def make_train_step(ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig):
         prev_value = jnp.where(done, 0.0, best_val)
         prev_valid = ~done
         if canon_step and state.prev_cidx.shape[1]:
-            cidx_n, cmult_n = canonical_gather_indices(ts, chosen_cells)
+            if codes_mode:
+                cidx_n, cmult_n = cidx4[best_dir, ar], mult4[best_dir, ar]
+            else:
+                cidx_n, cmult_n = canonical_gather_indices(
+                    ts, chosen_cells
+                )
             prev_cidx = jnp.where(done[:, None], state.prev_cidx, cidx_n)
             prev_cmult = jnp.where(
                 done[:, None], state.prev_cmult, cmult_n

@@ -239,6 +239,57 @@ def make_delta_accumulator(ts: TupleSet, mode: str) -> Callable:
     raise ValueError(f"unknown table op mode: {mode}")
 
 
+def make_train_evaluator(ts: TupleSet, mode: str, canonical: bool = False):
+    """Evaluator that also RETURNS the index tensors it computed, so
+    the train step can select the chosen afterstate's features instead
+    of recomputing them (one index matmul + one canonical orbit
+    reduction per step saved).
+
+    Returns fn(weights, flat_boards (..., 16)) ->
+        (values (...,), idx (..., F), cidx (..., K) | None,
+         mult (..., K) | None)
+    Matmul classes ride the fused Pallas kernel on TPU and plain
+    gathers elsewhere (numerically interchangeable, see module doc).
+    """
+    mode = resolve_mode(mode)
+    classes = oh.build_table_classes(ts)
+    use_pallas = mode in ("pallas", "search")
+    if use_pallas:
+        from . import pallas_kernels as pk
+    if canonical:
+        from ..features.canonical import canonical_gather_indices
+
+    def ev(weights, flat_boards):
+        shape = flat_boards.shape[:-1]
+        b = int(np.prod(shape)) if shape else 1
+        idx = feature_indices(ts, flat_boards)
+        idx2 = idx.reshape(b, ts.num_feat)
+        total = jnp.zeros((b,), jnp.float32)
+        if use_pallas:
+            tb = _pick_tb(b)
+            for c in classes.matmul:
+                tables = oh._class_tables(weights, c)
+                hi, lo = oh._hi_lo(ts, idx2, c)
+                total = total + pk.eval_class(tables, hi, lo, tb)
+        else:
+            for c in classes.matmul:
+                cols = idx2[:, c.feat0: c.feat0 + c.g]
+                total = total + weights[cols].sum(axis=-1)
+        cidx = mult = None
+        if len(classes.gather_feats):
+            if canonical:
+                cidx, mult = canonical_gather_indices(ts, flat_boards)
+                total = total + weights[
+                    cidx.reshape(b, -1)
+                ].sum(axis=-1)
+            else:
+                gf = jnp.asarray(classes.gather_feats)
+                total = total + weights[idx2[:, gf]].sum(axis=-1)
+        return total.reshape(shape), idx, cidx, mult
+
+    return ev
+
+
 def make_class_grads(ts: TupleSet, mode: str):
     """Per-class (dsum, hits) gradient blocks for the MXU matmul
     classes ONLY — never materializes full-table arrays (the canonical
