@@ -22,6 +22,18 @@ def main():
         print(f"===== canonical breakdown n={n} =====", flush=True)
         bcb.main()
 
+    from tpu2048.config import AgentConfig
+
+    print("===== train variants =====", flush=True)
+    for label, kw in (
+        ("defaults 16k envs", dict(n_envs=16384)),
+        ("defaults + table_ops=search (bf16 actor)",
+         dict(acfg=AgentConfig(table_ops="search"))),
+        ("n6 + table_ops=search", dict(acfg=AgentConfig(n=6, table_ops="search"), reps=2)),
+    ):
+        sps = bench.bench_train(**kw)
+        print(f"train {label}: {sps/1e3:.0f}k env-steps/s", flush=True)
+
     print("===== eval variants =====", flush=True)
     for envs in (8192, 16384, 32768):
         sps = bench.bench_eval(n_envs=envs, reps=3)

@@ -254,6 +254,10 @@ def make_train_evaluator(ts: TupleSet, mode: str, canonical: bool = False):
     mode = resolve_mode(mode)
     classes = oh.build_table_classes(ts)
     use_pallas = mode in ("pallas", "search")
+    # "search" = single-pass bf16 matmul classes (~2^-8 relative): the
+    # actor's greedy argmax only flips on near-ties, where both moves
+    # are near-equally good; opt-in speed mode (table_ops="search")
+    precision = "bf16" if mode == "search" else "bf16x2"
     if use_pallas:
         from . import pallas_kernels as pk
     if canonical:
@@ -270,7 +274,9 @@ def make_train_evaluator(ts: TupleSet, mode: str, canonical: bool = False):
             for c in classes.matmul:
                 tables = oh._class_tables(weights, c)
                 hi, lo = oh._hi_lo(ts, idx2, c)
-                total = total + pk.eval_class(tables, hi, lo, tb)
+                total = total + pk.eval_class(
+                    tables, hi, lo, tb, precision=precision
+                )
         else:
             for c in classes.matmul:
                 cols = idx2[:, c.feat0: c.feat0 + c.g]
