@@ -61,6 +61,9 @@ def test_index_and_health(server):
     ) as r:
         html = r.read().decode()
     assert "tpu2048" in html
+    # draggable play-instructions toast (reference:
+    # assets/play_instruction_draggable.js:1-47) ships in the page
+    assert "play-toast" in html and "pointerdown" in html
     assert _get(server, "/api/health")["ok"]
 
 

@@ -139,6 +139,8 @@ async function setMode(m) {
   $('play-controls').style.display = m === 'play' ? 'flex' : 'none';
   $('log-pane').style.display = ['train','test'].includes(m) ? 'block' : 'none';
   $('chart-pane').style.display = m === 'train' ? 'block' : 'none';
+  const toast = document.getElementById('play-toast');
+  if (toast) toast.style.display = m === 'play' ? 'block' : 'none';
   const c = $('controls'); c.innerHTML = '';
   if (m === 'guide') renderGuide();
   if (m === 'train') await renderTrain();
@@ -401,6 +403,50 @@ async function startPlay() {
   $('controls').innerHTML = `<h3>Play Yourself</h3>
     <p style="font-size:13px;max-width:240px">Use the arrow keys or the
     buttons under the board. R restarts.</p>`;
+  showPlayToast();
+}
+// Draggable "Game instructions" toast — the reference ships this as a
+// clientside callback (assets/play_instruction_draggable.js:1-47,
+// registered at application.py:888-892); here it is a plain floating
+// div moved by pointer events, dismissable, shown only in play mode.
+function showPlayToast() {
+  let t = document.getElementById('play-toast');
+  if (!t) {
+    t = document.createElement('div');
+    t.id = 'play-toast';
+    t.style.cssText = 'position:fixed;top:70px;right:24px;z-index:50;' +
+      'background:#2c2c38;border:1px solid #4a4a5a;border-radius:8px;' +
+      'width:230px;box-shadow:0 4px 14px rgba(0,0,0,.45);' +
+      'font-size:13px;user-select:none';
+    t.innerHTML = `<div id="play-toast-bar" style="cursor:move;padding:6px
+      10px;background:#3a3a4a;border-radius:8px 8px 0 0;display:flex;
+      justify-content:space-between"><b>Game instructions</b>
+      <span id="play-toast-x" style="cursor:pointer;padding:0 4px">&times;
+      </span></div>
+      <div style="padding:8px 10px">Join the numbers and get to the
+      <b>2048</b> tile! Use the arrow keys (or the buttons under the
+      board) to move the tiles. When two tiles with the same number
+      touch, they merge into one. Press <b>R</b> to restart. Drag this
+      note anywhere by its title bar.</div>`;
+    document.body.appendChild(t);
+    document.getElementById('play-toast-x').onclick =
+      () => { t.style.display = 'none'; };
+    const bar = document.getElementById('play-toast-bar');
+    let drag = null;
+    bar.addEventListener('pointerdown', e => {
+      const r = t.getBoundingClientRect();
+      drag = {dx: e.clientX - r.left, dy: e.clientY - r.top};
+      t.style.right = 'auto';
+      bar.setPointerCapture(e.pointerId);
+    });
+    bar.addEventListener('pointermove', e => {
+      if (!drag) return;
+      t.style.left = Math.max(0, e.clientX - drag.dx) + 'px';
+      t.style.top = Math.max(0, e.clientY - drag.dy) + 'px';
+    });
+    bar.addEventListener('pointerup', () => { drag = null; });
+  }
+  t.style.display = 'block';
 }
 async function playMove(dir) {
   if (!playSession || mode !== 'play') return;
