@@ -19,6 +19,14 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, ".")
 
+import jax
+
+# Host tool: the canonical->dense expansion in load_agent_dense runs
+# through jax; pin it to CPU so this never claims (or waits on) the
+# TPU tunnel — e.g. while a training session holds the chip.  The
+# axon plugin overrides JAX_PLATFORMS, so set it via jax.config.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from tpu2048 import native
