@@ -123,3 +123,71 @@ def test_pallas_grad_class_interpret():
             ref_h[gi, hi[i, gi], lo[i, gi]] += cv[i]
     np.testing.assert_allclose(np.asarray(dsum), ref_d, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(hits), ref_h, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_eval_class_bf16_search_mode_interpret():
+    """The single-pass bf16 kernel (expectimax leaf mode,
+    ``table_ops="search"``) must equal the EXACT f32 sum of the
+    bf16-rounded table entries: one-hots are exact in bf16, so every
+    product term is the bf16 head of the weight, accumulated in f32."""
+    g, h, l = 17, 256, 256
+    key = jax.random.PRNGKey(7)
+    kt, kh, kl = jax.random.split(key, 3)
+    tables = jax.random.normal(kt, (g, h, l), jnp.float32)
+    b = 128
+    hi = jax.random.randint(kh, (b, g), 0, h, dtype=jnp.int32)
+    lo = jax.random.randint(kl, (b, g), 0, l, dtype=jnp.int32)
+    got = pk.eval_class(tables, hi, lo, 64, True, "bf16")
+    t_bf = tables.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = t_bf[jnp.arange(g)[None, :], hi, lo].sum(axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_search_mode_bf16_move_agreement_and_value_error():
+    """Statistical guarantees for the bf16 search-eval mode (round-3
+    verdict item 3): emulate the single-pass kernel by rounding the
+    matmul-class weights to bf16, then check (a) per-board value error
+    stays ~2^-8 relative, and (b) the greedy argmax agrees with the f32
+    evaluator on every board whose top-2 value gap exceeds the bf16
+    error bound — i.e. the mode can only flip near-ties, where both
+    moves are near-equally good."""
+    from tpu2048.ops import dispatch
+    from tpu2048.ops.onehot import build_table_classes
+
+    ts = ntuple.get_tuple_set(5)
+    key = jax.random.PRNGKey(11)
+    kw, kb = jax.random.split(key)
+    # realistic magnitude spread: trained tables have O(1e3..1e5) values
+    weights = jax.random.normal(kw, (ts.total,)) * 3000.0
+    classes = build_table_classes(ts)
+    # bf16-round ONLY the matmul classes — exactly what "search" does
+    w_bf = np.asarray(weights).copy()
+    for c in classes.matmul:
+        size = c.g * c.h * c.l
+        blk = w_bf[c.start:c.start + size]
+        w_bf[c.start:c.start + size] = (
+            blk.astype(jnp.bfloat16).astype(np.float32))
+    w_bf = jnp.asarray(w_bf)
+
+    boards = _random_boards(kb, 512)
+    ev = dispatch.make_evaluator(ts, "gather")
+    v_f32 = np.asarray(ev(weights, boards))
+    v_bf = np.asarray(ev(w_bf, boards))
+    # (a) value error bound: num_feat bf16 roundings of O(|v|) terms
+    scale = np.abs(v_f32) + np.abs(np.asarray(weights)).max()
+    rel = np.abs(v_bf - v_f32) / scale
+    assert rel.max() < ts.num_feat * 2.0 ** -8, rel.max()
+
+    # (b) greedy argmax agreement outside the near-tie band
+    rng = np.random.default_rng(5)
+    vals_f = v_f32.reshape(128, 4)
+    vals_b = v_bf.reshape(128, 4)  # 4 candidate "afterstates" per board
+    top2 = np.sort(vals_f, axis=1)[:, -2:]
+    gap = top2[:, 1] - top2[:, 0]
+    band = 2 * ts.num_feat * 2.0 ** -8 * (
+        np.abs(vals_f).max(axis=1) + np.abs(np.asarray(weights)).max())
+    clear = gap > band
+    assert clear.mean() > 0.5  # the conservative band keeps most boards
+    agree = vals_f.argmax(axis=1) == vals_b.argmax(axis=1)
+    assert agree[clear].all(), "bf16 flipped a non-near-tie argmax"
+    assert rng is not None

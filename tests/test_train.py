@@ -354,3 +354,102 @@ def test_eval_segment_does_not_embed_weights_in_hlo():
     text2 = jax.jit(seg2).lower(st, w2).as_text()
     growth = len(text) - len(text2)
     assert growth < 200_000, f"HLO grew {growth} bytes with table size"
+
+
+def test_staged_merge_matches_unstaged_steps():
+    """A/B for the staged recorder merge (agent/td.py
+    ``_merge_staged_recorder``): K unstaged per-step-snapshot train
+    steps vs ONE staged segment from the same state must agree on the
+    best-game snapshot (score/length/log/start) and on every recorded
+    env's running-episode log rows.  K is chosen larger than typical
+    episode length so episodes start AND finish inside the segment —
+    the in-segment candidates the merge must not miss."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu2048.agent import td
+
+    # frozen weights (sgd, alpha=0): untrained games stay ~100 moves,
+    # well under the 256-step segment, so episodes complete in-segment
+    acfg = AgentConfig(n=2, table_ops="gather", optimizer="sgd",
+                       alpha=0.0, low_alpha_limit=0.0)
+    tcfg = TrainConfig(num_envs=16, steps_per_call=256, ring_size=512,
+                       record_envs=-1, max_record_steps=1024, seed=0)
+    ts = ntuple.get_tuple_set(2)
+    st0 = td.init_td_state(ts, acfg, tcfg, jax.random.PRNGKey(0))
+    step = jax.jit(td.make_train_step(ts, acfg, tcfg, staged=False))
+    seg = jax.jit(td.make_train_segment(ts, acfg, tcfg))
+
+    stA = st0
+    for _ in range(2 * tcfg.steps_per_call):
+        stA = step(stA)
+    stB = seg(seg(st0))
+
+    # same rollout (recorder handling must not perturb training)
+    np.testing.assert_array_equal(
+        np.asarray(stA.env.codes), np.asarray(stB.env.codes))
+    assert int(stA.metrics.episodes) == int(stB.metrics.episodes)
+    assert int(stA.metrics.episodes) > 16, "want in-segment completions"
+
+    recA, recB = stA.recorder, stB.recorder
+    assert int(recB.best_score) == int(recA.best_score) > 0
+    assert int(recB.best_len) == int(recA.best_len)
+    L = int(recA.best_len)
+    np.testing.assert_array_equal(
+        np.asarray(recB.best_start), np.asarray(recA.best_start))
+    np.testing.assert_array_equal(
+        np.asarray(recB.best_moves)[:L], np.asarray(recA.best_moves)[:L])
+    np.testing.assert_array_equal(
+        np.asarray(recB.best_spawns)[:L], np.asarray(recA.best_spawns)[:L])
+    # the saved best game is the run's true best and replays exactly
+    assert int(recB.best_score) == int(stB.metrics.best_score)
+    board = np.asarray(recB.best_start, np.int8).copy()
+    score = 0
+    moves = np.asarray(recB.best_moves)
+    spawns = np.asarray(recB.best_spawns)
+    for t in range(L):
+        nb, delta, changed = engine.np_move(board, int(moves[t]))
+        assert changed, f"illegal replay move at step {t}"
+        score += delta
+        sp = int(spawns[t]) & 0xFF
+        pos, val = sp & 0xF, (sp >> 4) + 1
+        nb = nb.reshape(16).copy()
+        assert nb[pos] == 0
+        nb[pos] = val
+        board = nb.reshape(4, 4)
+    assert score == int(recB.best_score)
+    # every env's RUNNING episode has identical log rows
+    odo = np.asarray(stB.env.odometer)
+    for r in range(tcfg.num_envs):
+        k = min(int(odo[r]), tcfg.max_record_steps)
+        lo = max(0, k - tcfg.steps_per_call)  # rows touched this segment
+        np.testing.assert_array_equal(
+            np.asarray(recB.moves)[r, lo:k], np.asarray(recA.moves)[r, lo:k],
+            err_msg=f"env {r} moves")
+        np.testing.assert_array_equal(
+            np.asarray(recB.spawns)[r, lo:k],
+            np.asarray(recA.spawns)[r, lo:k], err_msg=f"env {r} spawns")
+
+
+def test_staged_merge_in_segment_best_is_captured():
+    """An episode that starts and finishes strictly inside one segment
+    must still become the best-game snapshot when it carries the best
+    score (ADVICE r3: first-completion-only staging missed these)."""
+    import jax
+
+    from tpu2048.agent import td
+
+    acfg = AgentConfig(n=2, table_ops="gather")
+    tcfg = TrainConfig(num_envs=8, steps_per_call=512, ring_size=512,
+                       record_envs=-1, max_record_steps=1024, seed=1)
+    ts = ntuple.get_tuple_set(2)
+    st = td.init_td_state(ts, acfg, tcfg, jax.random.PRNGKey(1))
+    seg = jax.jit(td.make_train_segment(ts, acfg, tcfg))
+    # long segments (512 steps >> early episode length) force nearly
+    # all completions to be in-segment
+    for _ in range(4):
+        st = seg(st)
+    assert int(st.metrics.episodes) > 8
+    assert int(st.recorder.best_score) == int(st.metrics.best_score) > 0

@@ -25,8 +25,10 @@ Semantics preserved from the reference ``episode`` loop
 Documented semantic delta (SURVEY §7 hard part 2): the reference
 updates the table after every single move of ONE game; the lockstep
 batch applies the updates of N in-flight games at once (mini-batch
-TD(0), index collisions summed).  Learning-curve equivalence is
-validated statistically in ``tests/test_learning.py``.
+TD(0), index collisions summed).  Update numerics are pinned against
+scalar re-derivations in ``tests/test_td.py`` and against the explicit
+8-image scatter in ``tests/test_canonical.py``; learning-curve quality
+is documented in ``QUALITY.md`` (measured on-chip each round).
 """
 
 from __future__ import annotations
@@ -130,6 +132,44 @@ class TDState(NamedTuple):
 def _round4(x: jax.Array) -> jax.Array:
     """Mirror the reference's ``round(alpha, 4)`` (``r_learning.py:258``)."""
     return jnp.round(x * 10000.0) / 10000.0
+
+
+def _entry_reduce(keys: jax.Array, vals: jax.Array, drop_key: int):
+    """Per-entry (sum, abs-sum, count) of a sparse update batch by
+    sort + prefix sums — no colliding scatter, no dense table pass.
+
+    ``keys`` (M,) int32 table indices (lanes to ignore must carry
+    ``drop_key``); ``vals`` (M,) f32.  Returns
+    ``(tgt, seg_sum, seg_abs, count, ks)`` all (M,): ``tgt`` is the
+    entry index at each segment's FIRST sorted lane and ``drop_key``
+    everywhere else, so ``table.at[tgt].add(f(seg_sum, ...),
+    mode="drop", unique_indices=True)`` applies one combined update per
+    entry with a UNIQUE-index scatter — XLA serializes colliding
+    scatters, which round-3 profiling showed dominating the canonical
+    train step; the sort is vectorized and the unique scatter is not
+    serialized.  ``ks`` is the sorted key vector (for pre-update
+    per-entry gathers, e.g. the TC learning rate).
+    """
+    m = keys.shape[0]
+    ks, vs = jax.lax.sort([keys, vals], num_keys=1)
+    ar = jnp.arange(m, dtype=jnp.int32)
+    neq = ks[1:] != ks[:-1]
+    is_first = jnp.concatenate([jnp.ones((1,), bool), neq])
+    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    first_pos = jax.lax.cummax(jnp.where(is_first, ar, -1))
+    last_pos = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(is_last, ar, m)))
+    )
+    cs = jnp.cumsum(vs)
+    ca = jnp.cumsum(jnp.abs(vs))
+    prev = jnp.where(first_pos > 0, first_pos - 1, 0)
+    base_s = jnp.where(first_pos > 0, cs[prev], 0.0)
+    base_a = jnp.where(first_pos > 0, ca[prev], 0.0)
+    seg_sum = cs[last_pos] - base_s
+    seg_abs = ca[last_pos] - base_a
+    count = (last_pos - first_pos + 1).astype(jnp.float32)
+    tgt = jnp.where(is_first & (ks < drop_key), ks, drop_key)
+    return tgt, seg_sum, seg_abs, count, ks
 
 
 def evaluate_boards(
@@ -258,6 +298,7 @@ class RecStep(NamedTuple):
     done: jax.Array  # (R,) bool episode completed this step
     cand: jax.Array  # (R,) i32 completed score (or -1): best-game candidate
     odo: jax.Array  # (R,) i32 odometer at step start (= final length on done)
+    sb: jax.Array  # (R, 16) i8 completing episode's start board (0 if not done)
 
 
 def make_train_step(
@@ -437,50 +478,56 @@ def make_train_step(
                     weights = jax.lax.dynamic_update_slice(
                         weights, w_blk + upd, (c.start,)
                     )
-            # big gather classes: ONE sparse op set at the canonical
-            # orbit indices.  "sum" scatters mult*delta (the exact
-            # 8-image totals, orbit-stabilizer).  "mean" divides each
-            # hit by the entry's total hit count this step, computed
-            # with one dense counting scatter — canonicalization makes
-            # collisions COMMON, not rare (near-empty boards share
-            # orbits: a board's own 4 crosses often canonicalize to one
-            # entry), so per-entry normalization must be exact to match
-            # the validated fold/index collision-mean numerics.
+            # big gather classes: per-entry reduction of the canonical
+            # orbit updates by sort + prefix sums, then ONE unique-index
+            # scatter per table.  "sum" adds mult*delta (the exact
+            # 8-image totals, orbit-stabilizer); "mean" divides each
+            # entry's summed update by its valid-hit count this step —
+            # canonicalization makes collisions COMMON, not rare
+            # (near-empty boards share orbits: a board's own 4 crosses
+            # often canonicalize to one entry), so per-entry
+            # normalization must be exact to match the validated
+            # fold/index collision-mean numerics.  The sort replaces
+            # the round-3 colliding scatters (+ a dense hit-count
+            # table pass in "mean"), which XLA serializes per lane.
             if state.prev_cidx.shape[1]:
                 cidx = state.prev_cidx
-                per = jnp.broadcast_to(
-                    delta[:, None], cidx.shape
-                )
+                per = jnp.broadcast_to(delta[:, None], cidx.shape)
                 if acfg.update_mode == "sum":
                     per = per * state.prev_cmult.astype(jnp.float32)
-                per = jnp.where(
-                    state.prev_valid[:, None], per, 0.0
+                keys = jnp.where(
+                    state.prev_valid[:, None], cidx, ts.total
+                ).reshape(-1)
+                tgt, seg_sum, seg_abs, cnt, ks = _entry_reduce(
+                    keys, per.reshape(-1), ts.total
                 )
                 if acfg.update_mode == "mean":
-                    contrib = jnp.broadcast_to(
-                        state.prev_valid[:, None], cidx.shape
-                    ).astype(jnp.float32)
-                    hits_g = jnp.zeros(
-                        (ts.total,), jnp.float32
-                    ).at[cidx].add(contrib, mode="drop")
-                    per = per / jnp.maximum(hits_g[cidx], 1.0)
+                    add = seg_sum / cnt
+                    add_abs = seg_abs / cnt
+                else:
+                    add, add_abs = seg_sum, seg_abs
                 if tc_mode:
-                    e_g = opt_e[cidx]
-                    a_g = opt_a[cidx]
+                    e_g = opt_e[ks]
+                    a_g = opt_a[ks]
                     lr_g = jnp.where(
                         a_g > 0.0,
                         jnp.abs(e_g) / jnp.maximum(a_g, 1e-30),
                         1.0,
                     )
-                    weights = weights.at[cidx].add(
-                        state.alpha * lr_g * per, mode="drop"
+                    weights = weights.at[tgt].add(
+                        state.alpha * lr_g * add, mode="drop",
+                        unique_indices=True,
                     )
-                    opt_e = opt_e.at[cidx].add(per, mode="drop")
-                    opt_a = opt_a.at[cidx].add(
-                        jnp.abs(per), mode="drop"
+                    opt_e = opt_e.at[tgt].add(
+                        add, mode="drop", unique_indices=True
+                    )
+                    opt_a = opt_a.at[tgt].add(
+                        add_abs, mode="drop", unique_indices=True
                     )
                 else:
-                    weights = weights.at[cidx].add(per, mode="drop")
+                    weights = weights.at[tgt].add(
+                        add, mode="drop", unique_indices=True
+                    )
         elif tc_mode:
             # Temporal coherence (Jaskowski 2016): per-weight rate
             # |E|/A, self-annealing; alpha is a global meta-rate.
@@ -562,7 +609,11 @@ def make_train_step(
         if staged:
             # defer the big-buffer writes + best snapshot to the
             # once-per-segment merge; only the cheap dense per-env
-            # state (starts, overflow) advances per step
+            # state (starts, overflow) advances per step.  ``sb``
+            # snapshots the completing episode's start board so the
+            # merge can also consider episodes that start AND finish
+            # inside the segment (their start position exists only
+            # transiently in ``rec.starts`` mid-scan).
             recinfo = RecStep(
                 mv=best_dir[:r_env].astype(jnp.int8),
                 sp=sp_byte,
@@ -570,11 +621,10 @@ def make_train_step(
                 done=done[:r_env],
                 cand=jnp.where(done_rec, score[:r_env], -1),
                 odo=odo_r,
+                sb=jnp.where(
+                    done_rec[:, None], rec.starts.reshape(r_env, 16), 0
+                ).astype(jnp.int8),
             )
-            moves_buf, spawns_buf = rec.moves, rec.spawns
-            best_moves, best_spawns = rec.best_moves, rec.best_spawns
-            best_start, best_len = rec.best_start, rec.best_len
-            rec_best_score = rec.best_score
         else:
             moves_buf = rec.moves.at[ar_r, wslot].set(
                 best_dir[:r_env].astype(jnp.int8), mode="drop"
@@ -680,17 +730,20 @@ def make_train_step(
         else:
             prev_cidx, prev_cmult = state.prev_cidx, state.prev_cmult
 
-        recorder = Recorder(
-            moves=moves_buf,
-            spawns=spawns_buf,
-            starts=starts,
-            overflow=overflow,
-            best_moves=best_moves,
-            best_spawns=best_spawns,
-            best_start=best_start,
-            best_len=best_len,
-            best_score=rec_best_score,
-        )
+        if staged:
+            recorder = rec._replace(starts=starts, overflow=overflow)
+        else:
+            recorder = Recorder(
+                moves=moves_buf,
+                spawns=spawns_buf,
+                starts=starts,
+                overflow=overflow,
+                best_moves=best_moves,
+                best_spawns=best_spawns,
+                best_start=best_start,
+                best_len=best_len,
+                best_score=rec_best_score,
+            )
         out = TDState(
             weights=weights,
             opt_e=opt_e,
@@ -724,16 +777,16 @@ def _merge_staged_recorder(
     when the snapshot reads it; writes from the episode running at
     segment END (steps at/after the LAST completion) land second.
     Episodes that both start and finish strictly inside one segment
-    between those two never materialize in the big buffers — nothing
-    can read them: only first completions are snapshot candidates, and
-    a first-completion episode is always already running at segment
-    start (a mid-segment start implies an earlier completion).  Such
-    skipped episodes are shorter than one segment (< K moves), far too
-    short to ever carry a best score.  ``starts0`` is the ``starts``
-    buffer at segment START — the right source for the snapshot's
-    starting position by the same argument.
+    never materialize in the big buffers, but they are still best-game
+    candidates: every completion's score/length/start-board is staged
+    (``cand``/``odo``/``sb``), and when an in-segment episode wins, its
+    move/spawn log is reconstructed directly from the stacked records
+    (its scan-step window ``[k-L, k)`` maps to log slots ``0..L-1``).
+    ``starts0`` is the ``starts`` buffer at segment START — the right
+    source for a FIRST completion's starting position (that episode
+    was already running when the segment began).
     """
-    mv, sp, wslot, done_k, cand_k, odo_k = recs
+    mv, sp, wslot, done_k, cand_k, odo_k, sb_k = recs
     K, R = mv.shape
     kk = jnp.arange(K)[:, None]
     ar_b = jnp.broadcast_to(jnp.arange(R)[None, :], (K, R))
@@ -752,14 +805,53 @@ def _merge_staged_recorder(
     cand_fd = jnp.where(fdone < K, cand_fd, -1)
     len_fd = jnp.take_along_axis(odo_k, fidx, axis=0)[0]
     best_i = jnp.argmax(cand_fd)
-    take = cand_fd[best_i] > rec.best_score
-    best_moves = jnp.where(take, moves1[best_i], rec.best_moves)
-    best_spawns = jnp.where(take, spawns1[best_i], rec.best_spawns)
-    best_start = jnp.where(take, starts0[best_i], rec.best_start)
-    best_len = jnp.where(
-        take, jnp.minimum(len_fd[best_i], s_max), rec.best_len
+    cand_cross = cand_fd[best_i]
+
+    # best among episodes contained ENTIRELY in this segment (started
+    # at scan step k - L >= 0): reconstructable from the stacked recs
+    in_seg = done_k & (kk - odo_k >= 0)
+    cand_in = jnp.where(in_seg, cand_k, -1)
+    flat_in = jnp.argmax(cand_in)
+    k_in, r_in = flat_in // R, flat_in % R
+    cand_ins = cand_in.reshape(-1)[flat_in]
+    len_in = odo_k[k_in, r_in]
+    w = min(K, s_max)
+    pad = jnp.zeros((K,), mv.dtype)
+    src = jnp.maximum(k_in - len_in, 0)
+    win_mv = jax.lax.dynamic_slice(
+        jnp.concatenate([mv[:, r_in], pad]), (src,), (K,)
+    )[:w]
+    win_sp = jax.lax.dynamic_slice(
+        jnp.concatenate([sp[:, r_in], pad]), (src,), (K,)
+    )[:w]
+    live = jnp.arange(w) < len_in
+    bm_in = jnp.zeros((s_max,), mv.dtype).at[:w].set(
+        jnp.where(live, win_mv, 0)
     )
-    best_score = jnp.where(take, cand_fd[best_i], rec.best_score)
+    bs_in = jnp.zeros((s_max,), sp.dtype).at[:w].set(
+        jnp.where(live, win_sp, 0)
+    )
+    start_in = sb_k[k_in, r_in].reshape(4, 4)
+
+    use_in = cand_ins > cand_cross
+    seg_best = jnp.maximum(cand_ins, cand_cross)
+    take = seg_best > rec.best_score
+    best_moves = jnp.where(
+        take, jnp.where(use_in, bm_in, moves1[best_i]), rec.best_moves
+    )
+    best_spawns = jnp.where(
+        take, jnp.where(use_in, bs_in, spawns1[best_i]), rec.best_spawns
+    )
+    best_start = jnp.where(
+        take, jnp.where(use_in, start_in, starts0[best_i]),
+        rec.best_start,
+    )
+    best_len = jnp.where(
+        take,
+        jnp.where(use_in, len_in, jnp.minimum(len_fd[best_i], s_max)),
+        rec.best_len,
+    )
+    best_score = jnp.where(take, seg_best, rec.best_score)
 
     # phase 2: the episodes running at segment end (indices unique —
     # one episode's columns strictly increase with the scan step)

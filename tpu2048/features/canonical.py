@@ -77,22 +77,34 @@ def _gather_feat_ids(n: int) -> np.ndarray:
 def _orbit_pack(n: int) -> Tuple[np.ndarray, np.ndarray]:
     """Fused packing for the gather-class orbit indices.
 
-    Returns (mat (8, 32, K) f32, off (8, K) i32) such that for image s
-    of a board (cells permuted by ``ts.sym_perms[s]``), column k packs
-    feature ``fp[s, gf[k]]`` directly:
-        orbit_vals[., s, k] = v_s @ mat[s, :, k] + off[s, k]
-    i.e. the (global) index of the T_s-image of identity entry
-    ``(gf[k], .)`` — no full (8, num_feat) index tensor materialized.
+    Returns (mat (32, 8*K) f32, off (8, K) i32) with the D4 cell
+    permutations PRE-COMPOSED into the matrix: for the identity cell
+    vector ``v = concat(x, min(x, 13))`` of a board,
+        orbit_vals[., s, k] = v @ mat[:, s*K + k] + off[s, k]
+    is the (global) index of the T_s-image of identity entry
+    ``(gf[k], .)``.  One (B, 32) @ (32, 8K) matmul replaces the
+    permuted (B, 8, 16) gather + batched (8-minor) einsum of the naive
+    formulation — no per-image board copies, and a single MXU-friendly
+    contraction.
+
+    Derivation: image s reads cell ``c`` of the permuted board, i.e.
+    cell ``perm_s[c]`` of the identity board (same for the clipped
+    half, since min(.,13) is elementwise), so the coefficient of
+    identity column ``perm_s[c]`` is the permuted matrix's row ``c``.
     """
     ts = get_tuple_set(n)
     gf = _gather_feat_ids(n)
     fp = feature_perm_table(n)
     k = len(gf)
-    mat = np.zeros((8, 32, k), np.float32)
+    mat = np.zeros((32, 8 * k), np.float32)
     off = np.zeros((8, k), np.int32)
     for s in range(8):
         feats = fp[s, gf]  # (K,)
-        mat[s] = ts.matrix[feats].T  # (32, K)
+        m_s = ts.matrix[feats].T  # (32, K) acting on the PERMUTED board
+        perm = ts.sym_perms[s]
+        for c in range(16):
+            mat[perm[c], s * k: (s + 1) * k] += m_s[c]
+            mat[16 + perm[c], s * k: (s + 1) * k] += m_s[16 + c]
         off[s] = ts.offsets[feats]
     return mat, off
 
@@ -111,19 +123,18 @@ def canonical_gather_indices(
     ``sum(mult over the orbit's distinct members) == 8`` always.
     """
     mat, off = _orbit_pack(ts.n)
-    if mat.shape[-1] == 0:
+    k = off.shape[1]
+    if k == 0:
         shape = flat_boards.shape[:-1] + (0,)
         return (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32))
-    permuted = flat_boards[..., jnp.asarray(ts.sym_perms)]  # (..., 8, 16)
-    x = permuted.astype(jnp.float32)
-    v = jnp.concatenate([x, jnp.minimum(x, 13.0)], axis=-1)  # (..., 8, 32)
-    local = jnp.einsum(
-        "...sc,sck->...sk",
+    x = flat_boards.astype(jnp.float32)
+    v = jnp.concatenate([x, jnp.minimum(x, 13.0)], axis=-1)  # (..., 32)
+    local = jnp.dot(
         v,
-        jnp.asarray(mat),
+        jnp.asarray(mat),  # (32, 8K), permutations pre-composed
         precision=jax.lax.Precision.HIGHEST,  # exact: see feature_indices
         preferred_element_type=jnp.float32,
-    )
+    ).reshape(flat_boards.shape[:-1] + (8, k))
     vals = local.astype(jnp.int32) + jnp.asarray(off)  # (..., 8, K)
     canon = vals.min(axis=-2)
     mult = (vals == canon[..., None, :]).sum(axis=-2).astype(jnp.int32)
