@@ -89,18 +89,23 @@ def bench_engine(n_envs=8192, k=256, reps=6):
     return reps * k * n_envs / dt
 
 
-def bench_eval(n_envs=8192, k=128, reps=4):
+def bench_eval(n_envs=8192, k=128, reps=4, n=5, table_ops="auto"):
     """Greedy policy inference throughput (trained-agent play):
-    codes engine + MXU table eval, the production serve path."""
+    codes engine + MXU table eval, the production serve path.
+    Default geometry is the SHIPPED AgentConfig n=5 (dense-exported
+    table, identity indices — exactly what ``trial``/serving runs);
+    ``n=4`` is kept as an auxiliary number for cross-round
+    comparability, and ``table_ops="search"`` measures the bf16
+    search-grade serve mode."""
     import numpy as np_
 
     from tpu2048.engine import fast as eng
     from tpu2048.features import ntuple
     from tpu2048.ops import dispatch as table_dispatch
 
-    ts = ntuple.get_tuple_set(4)
+    ts = ntuple.get_tuple_set(n)
     w = ntuple.init_weights(ts, jax.random.PRNGKey(0))
-    eval_fn = table_dispatch.make_evaluator(ts, "auto")
+    eval_fn = table_dispatch.make_evaluator(ts, table_ops)
     tperm = jnp.asarray(np_.arange(16).reshape(4, 4).T.reshape(16))
 
     def roll(codes, key):
@@ -167,7 +172,9 @@ def main(argv=None):
         acfg=AgentConfig(n=6), reps=2
     )  # quality-flagship geometry
     engine_sps = bench_engine()
-    eval_sps = bench_eval()
+    eval_sps = bench_eval()  # SHIPPED defaults geometry (n=5)
+    eval_n4_sps = bench_eval(n=4)  # round-1/2 comparability
+    eval_bf16_sps = bench_eval(n=4, table_ops="search")
     print(
         json.dumps(
             {
@@ -184,6 +191,10 @@ def main(argv=None):
                     engine_sps / ENGINE_NORTH_STAR, 3
                 ),
                 "eval_env_steps_per_sec": round(eval_sps, 1),
+                "eval_n4_env_steps_per_sec": round(eval_n4_sps, 1),
+                "eval_n4_bf16_env_steps_per_sec": round(
+                    eval_bf16_sps, 1
+                ),
             }
         )
     )

@@ -54,15 +54,22 @@ def main():
     tcfg = TrainConfig(num_envs=envs, steps_per_call=64)
     print(f"backend={jax.default_backend()} n={n} envs={envs}", flush=True)
 
-    codes = engf.new_codes(envs, key)
-    for _ in range(3):
-        aft, _, legal, _t = engf.afterstates_full(codes)
-        codes = jnp.where(legal.any(0)[:, None], aft[0], codes)
-    cells = jnp.asarray(np.asarray(engf.cells_from_codes(codes)), jnp.int8)
-    cells4 = jnp.broadcast_to(cells[None], (4,) + cells.shape).reshape(
-        4 * envs, 16
-    )
-    dw = jax.random.normal(jax.random.PRNGKey(1), (envs,)) * 1e-3
+    @jax.jit
+    def _setup(key):
+        codes = engf.new_codes(envs, key)
+        for _ in range(3):
+            aft, _, legal, _t = engf.afterstates_full(codes)
+            codes = jnp.where(legal.any(0)[:, None], aft[0], codes)
+        cells = engf.cells_from_codes(codes).astype(jnp.int8)
+        cells4 = jnp.broadcast_to(
+            cells[None], (4,) + cells.shape
+        ).reshape(4 * envs, 16)
+        dw = jax.random.normal(jax.random.PRNGKey(1), (envs,)) * 1e-3
+        return codes, cells, cells4, dw
+
+    # one jit for the whole setup: eager op-by-op dispatch through the
+    # device tunnel pays seconds of per-op compile+RPC latency
+    codes, cells, cells4, dw = _setup(key)
     valid = jnp.ones((envs,), bool)
 
     # (a) engine expansion only
@@ -93,7 +100,7 @@ def main():
 
     # (d) matmul-class grads + class fold + block TC
     classes, grads = dispatch.make_class_grads(ts, "auto")
-    idx = ntuple.feature_indices(ts, cells)
+    idx = jax.jit(lambda c: ntuple.feature_indices(ts, c))(cells)
 
     def blocks_only(i, d, v):
         out = grads(i, d, v)
@@ -132,7 +139,7 @@ def main():
           flush=True)
 
     # (e) sparse gather-class TC (hits + lr gathers + 3 scatters)
-    cidx, mult = canon.canonical_gather_indices(ts, cells)
+    cidx, mult = f4(cells)
 
     def sparse_tc(w, e, a, alpha, ci, d, v):
         per = jnp.broadcast_to(d[:, None], ci.shape)
@@ -150,6 +157,35 @@ def main():
     if cidx.shape[1]:
         print(f"sparse gather-class TC:     "
               f"{timeit(jax.jit(sparse_tc), weights, z, z, alpha, cidx, dw, valid)*1e3:8.2f} ms",
+              flush=True)
+
+    # (e3) round-4 sorted-dedup chain with the stacked (w,e,a) scatter
+    def dedup_tc(w, e, a, alpha, ci, d, v):
+        per = jnp.broadcast_to(d[:, None], ci.shape)
+        keys = jnp.where(v[:, None], ci, ts.total).reshape(-1)
+        tgt, seg_sum, seg_abs, cnt, ks = td._entry_reduce(
+            keys, per.reshape(-1), ts.total
+        )
+        add = seg_sum / cnt
+        add_abs = seg_abs / cnt
+        e_g, a_g = e[ks], a[ks]
+        lr = jnp.where(a_g > 0, jnp.abs(e_g) / jnp.maximum(a_g, 1e-30),
+                       1.0)
+        if ts.total <= 32_000_000:
+            wea = jnp.stack([w, e, a])
+            upd = jnp.stack([alpha * lr * add, add, add_abs])
+            wea = wea.at[:, tgt].add(upd, mode="drop",
+                                     unique_indices=True)
+            return wea[0], wea[1], wea[2]
+        w = w.at[tgt].add(alpha * lr * add, mode="drop",
+                          unique_indices=True)
+        e = e.at[tgt].add(add, mode="drop", unique_indices=True)
+        a = a.at[tgt].add(add_abs, mode="drop", unique_indices=True)
+        return w, e, a
+
+    if cidx.shape[1]:
+        print(f"sorted-dedup TC (r4):       "
+              f"{timeit(jax.jit(dedup_tc), weights, z, z, alpha, cidx, dw, valid)*1e3:8.2f} ms",
               flush=True)
 
     # (e2) in-scan steady-state per-piece costs: 64 iterations of each
@@ -209,6 +245,14 @@ def main():
               f"{scanned(body_sparse, (weights, z, z))*1e3:8.2f} ms",
               flush=True)
 
+        def body_dedup(c):
+            w, e, a = c
+            return dedup_tc(w, e, a, alpha, cidx, dw, valid)
+
+        print(f"scan: sorted-dedup TC (r4): "
+              f"{scanned(body_dedup, (weights, z, z))*1e3:8.2f} ms",
+              flush=True)
+
         def body_cidx(c):
             ci, _ = canon.canonical_gather_indices(ts, cells)
             return c + ci.sum() * 0
@@ -216,6 +260,37 @@ def main():
         print(f"scan: canon idx (N):        "
               f"{scanned(body_cidx, jnp.int32(0))*1e3:8.2f} ms",
               flush=True)
+
+    # (e4) staged recorder merge, amortized per step: the once-per-
+    # segment fold of K stacked RecStep rows into the (R, S) logs
+    K = tcfg.steps_per_call
+    s_max = tcfg.max_record_steps
+    recs = td.RecStep(
+        mv=jnp.zeros((K, envs), jnp.int8),
+        sp=jnp.zeros((K, envs), jnp.int8),
+        wslot=jnp.tile(jnp.arange(K, dtype=jnp.int32)[:, None],
+                       (1, envs)),
+        done=jnp.zeros((K, envs), bool).at[K // 2, : envs // 8].set(True),
+        cand=jnp.full((K, envs), -1, jnp.int32),
+        odo=jnp.tile(jnp.arange(K, dtype=jnp.int32)[:, None], (1, envs)),
+        sb=jnp.zeros((K, envs, 16), jnp.int8),
+    )
+    rec0 = td.Recorder(
+        moves=jnp.zeros((envs, s_max), jnp.int8),
+        spawns=jnp.zeros((envs, s_max), jnp.int8),
+        starts=jnp.zeros((envs, 4, 4), jnp.int8),
+        overflow=jnp.zeros((envs,), bool),
+        best_moves=jnp.zeros((s_max,), jnp.int8),
+        best_spawns=jnp.zeros((s_max,), jnp.int8),
+        best_start=jnp.zeros((4, 4), jnp.int8),
+        best_len=jnp.int32(0),
+        best_score=jnp.int32(0),
+    )
+    merge_f = jax.jit(
+        lambda r, s, rs: td._merge_staged_recorder(r, s, rs, s_max)
+    )
+    dt = timeit(merge_f, rec0, rec0.starts, recs, reps=5)
+    print(f"staged merge (per step):    {dt/K*1e3:8.2f} ms", flush=True)
 
     # (f) one full jitted train step (dispatch overhead NOT amortized)
     st = td.init_td_state(ts, acfg, tcfg, key)

@@ -88,6 +88,7 @@ def test_sharded_matches_single_device_exactly():
     np.testing.assert_allclose(w1, w2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_axis_n6_motivating_case():
     """The TP analogue on its actual motivating case (SURVEY §2.2): the
     n=6 tuple set's 95.7M-entry table (12x14^6 six-tuple tables +
@@ -115,6 +116,7 @@ def test_model_axis_n6_motivating_case():
     assert bool(jnp.isfinite(jnp.abs(w).sum()))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import sys
 
@@ -197,3 +199,54 @@ def test_sharded_canonical_n5_runs_and_learns():
     w = np.asarray(state.weights)
     assert np.isfinite(w).all() and np.abs(w).max() > 0.01  # updated
     assert state.weights.sharding.spec == P()
+
+
+@pytest.mark.slow
+def test_canonical_n6_flagship_sharded_collectives_are_small():
+    """The flagship multi-chip question (round-3 verdict weak #3):
+    data-parallel canonical n=6 must NOT all-reduce a dense table-sized
+    delta per step.  GSPMD routes the canonical sparse update as small
+    index/value all-gathers; the only large per-step collective is the
+    16^4 matmul-class block all-reduce (17*256*256 f32 = 4.5 MB, ~0.1 ms
+    on ICI).  This pins the compiled HLO: the segment runs, and no
+    collective touches a tensor within 100x of the 95.7M-entry table.
+    """
+    import re
+
+    ts = ntuple.get_tuple_set(6)
+    acfg = AgentConfig(n=6, table_ops="gather")  # canonical + tc defaults
+    tcfg = TrainConfig(num_envs=32, steps_per_call=2, ring_size=64,
+                       record_envs=-1, max_record_steps=128, seed=0)
+    m = pmesh.make_mesh(MeshConfig(data=8, model=1))
+    state = pmesh.init_sharded_td_state(
+        ts, acfg, tcfg, m, jax.random.PRNGKey(0)
+    )
+    assert state.prev_cidx.shape == (32, 16)  # 4 crosses + 12 six-blocks
+    assert state.recorder.moves.sharding.spec == P("data")
+    seg = pmesh.make_sharded_train_segment(ts, acfg, tcfg, m)
+    compiled = seg.lower(state).compile()
+    txt = compiled.as_text()
+    pat = re.compile(
+        r"=\s*(\S+)\s+(all-reduce|all-gather|reduce-scatter|all-to-all)\b")
+    seen = []
+    for ln in txt.splitlines():
+        mm = pat.search(ln)
+        if not mm:
+            continue
+        els = 1
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", mm.group(1)):
+            if dims:
+                n_el = 1
+                for d in dims.split(","):
+                    n_el *= int(d)
+                els = max(els, n_el)
+        seen.append((mm.group(2), els))
+    assert seen, "expected cross-device collectives in the sharded segment"
+    biggest = max(e for _, e in seen)
+    # largest allowed: the 16^4 class blocks (17*65536 = 1.1M elements);
+    # a dense table delta would be 95.7M
+    assert biggest <= 2 * 17 * 65536, (
+        f"table-sized collective leaked into the flagship segment: {seen}")
+    # and the segment actually executes
+    out = seg(state)
+    assert np.isfinite(np.asarray(out.metrics.best_score)).all()

@@ -514,16 +514,30 @@ def make_train_step(
                         jnp.abs(e_g) / jnp.maximum(a_g, 1e-30),
                         1.0,
                     )
-                    weights = weights.at[tgt].add(
-                        state.alpha * lr_g * add, mode="drop",
-                        unique_indices=True,
-                    )
-                    opt_e = opt_e.at[tgt].add(
-                        add, mode="drop", unique_indices=True
-                    )
-                    opt_a = opt_a.at[tgt].add(
-                        add_abs, mode="drop", unique_indices=True
-                    )
+                    w_add = state.alpha * lr_g * add
+                    if ts.total <= 32_000_000:
+                        # one M-lane scatter updating all three tables
+                        # (scatter cost scales with LANES, not bytes):
+                        # stack traffic ~6 table copies is far cheaper
+                        # than two extra serial scatter passes at n<=5
+                        # table sizes; at n=6 (95.7M entries) the copies
+                        # would cost more than the scatters they save.
+                        wea = jnp.stack([weights, opt_e, opt_a])
+                        upd = jnp.stack([w_add, add, add_abs])
+                        wea = wea.at[:, tgt].add(
+                            upd, mode="drop", unique_indices=True
+                        )
+                        weights, opt_e, opt_a = wea[0], wea[1], wea[2]
+                    else:
+                        weights = weights.at[tgt].add(
+                            w_add, mode="drop", unique_indices=True
+                        )
+                        opt_e = opt_e.at[tgt].add(
+                            add, mode="drop", unique_indices=True
+                        )
+                        opt_a = opt_a.at[tgt].add(
+                            add_abs, mode="drop", unique_indices=True
+                        )
                 else:
                     weights = weights.at[tgt].add(
                         add, mode="drop", unique_indices=True
@@ -653,10 +667,15 @@ def make_train_step(
         n_done = done.sum().astype(jnp.int32)
         order = jnp.cumsum(done.astype(jnp.int32)) - 1
         wpos = jnp.where(done, (met.ring_pos + order) % ring, ring)
-        score_ring = met.score_ring.at[wpos].set(score, mode="drop")
         tiles = (engf.max_tile_codes(codes) if codes_mode
                  else engine.max_tile(boards))
-        tile_ring = met.tile_ring.at[wpos].set(tiles, mode="drop")
+        # one stacked scatter fills both rings (lane count is the
+        # scatter cost driver; the (2, ring) stack copies are noise)
+        rings = jnp.stack([met.score_ring, met.tile_ring])
+        rings = rings.at[:, wpos].set(
+            jnp.stack([score, tiles]), mode="drop"
+        )
+        score_ring, tile_ring = rings[0], rings[1]
         ep_best = jnp.where(done, score, 0).max()
         metrics = Metrics(
             episodes=met.episodes + n_done,
