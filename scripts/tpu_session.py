@@ -95,6 +95,23 @@ def run_probe(_store, step):
           f"=====", flush=True)
 
 
+def run_canon_breakdown(_store, step):
+    """In-process canonical train-step piece timings
+    (scripts/bench_canon_breakdown.py)."""
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_canon_breakdown
+
+    argv_save = sys.argv
+    sys.argv = ["bench_canon_breakdown.py", str(step.get("n", 5)),
+                str(step.get("envs", 8192))]
+    try:
+        bench_canon_breakdown.main()
+    finally:
+        sys.argv = argv_save
+
+
 def run_search_bench(_store, step):
     """In-process leaf-eval + tree microbench (scripts/bench_search.py)."""
     import os
@@ -127,7 +144,8 @@ def main():
     store = open_store("local", root="~/.tpu2048")
     handlers = {"train": run_train, "eval": run_eval, "bench": run_bench,
                 "check": run_check, "probe": run_probe,
-                "search_bench": run_search_bench}
+                "search_bench": run_search_bench,
+                "canon_breakdown": run_canon_breakdown}
     for i, step in enumerate(plan):
         t0 = time.time()
         print(f"\n##### step {i}: {step.get('kind')} #####", flush=True)

@@ -107,6 +107,7 @@ def test_dense_roundtrip(rng):
     )
 
 
+@pytest.mark.slow
 def test_trainer_canonical_end_to_end_and_dense_load(tmp_path):
     """A canonical agent trains, checkpoints, resumes, and its stored
     table expands to a dense table that identity-index consumers

@@ -172,6 +172,7 @@ def test_distributed_single_host_noop(monkeypatch):
     assert (s.start, s.stop) == (0, 128)
 
 
+@pytest.mark.slow
 def test_sharded_canonical_n5_runs_and_learns():
     """The canonical-index learner (sparse gather/scatter on the 16^5
     classes + class-block fold) compiles and runs under GSPMD with
