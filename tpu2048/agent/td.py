@@ -813,18 +813,40 @@ def _merge_staged_recorder(
     ldone = jnp.where(done_k, kk, -1).max(axis=0)  # last completion
     ldone_eff = jnp.where(ldone >= 0, ldone, K)
 
-    # phase 1: the episodes running at segment start
-    col1 = jnp.where(kk < fdone[None, :], wslot, s_max)
-    moves1 = rec.moves.at[ar_b, col1].set(mv, mode="drop")
-    spawns1 = rec.spawns.at[ar_b, col1].set(sp, mode="drop")
+    # ONE combined scatter per log buffer: steps belonging to the
+    # episode running at segment START (kk < fdone) and to the episode
+    # running at segment END (kk >= ldone_eff) — disjoint slot ranges,
+    # so ordering between them does not matter.  (Round 3 used two
+    # phases so the snapshot could read the start-episode's completed
+    # row between them; the snapshot below reconstructs that row
+    # directly from the stacked records instead, halving the merge's
+    # scatter lanes — the dominant merge cost.)
+    col = jnp.where(
+        (kk < fdone[None, :]) | (kk >= ldone_eff[None, :]), wslot, s_max
+    )
+    moves_f = rec.moves.at[ar_b, col].set(mv, mode="drop")
+    spawns_f = rec.spawns.at[ar_b, col].set(sp, mode="drop")
 
-    # best finished game among this segment's first completions
+    # best finished game among this segment's first completions: its
+    # log = old buffer row (slots [0, L-f)) + this segment's staged
+    # window (slots [L-f, L) = scan steps [0, f)), composed by a masked
+    # positional gather — no intermediate buffer state needed
     fidx = jnp.minimum(fdone, K - 1)[None, :]
     cand_fd = jnp.take_along_axis(cand_k, fidx, axis=0)[0]
     cand_fd = jnp.where(fdone < K, cand_fd, -1)
     len_fd = jnp.take_along_axis(odo_k, fidx, axis=0)[0]
     best_i = jnp.argmax(cand_fd)
     cand_cross = cand_fd[best_i]
+    l_cr = jnp.minimum(len_fd[best_i], s_max)
+    f_cr = fdone[best_i]
+    off_cr = l_cr - f_cr  # first staged-slot position
+    pos = jnp.arange(s_max)
+    t_cr = jnp.clip(pos - off_cr, 0, K - 1)
+    in_win = (pos >= off_cr) & (pos < l_cr)
+    bm_cross = jnp.where(in_win, mv[:, best_i][t_cr], rec.moves[best_i])
+    bs_cross = jnp.where(
+        in_win, sp[:, best_i][t_cr], rec.spawns[best_i]
+    )
 
     # best among episodes contained ENTIRELY in this segment (started
     # at scan step k - L >= 0): reconstructable from the stacked recs
@@ -856,27 +878,19 @@ def _merge_staged_recorder(
     seg_best = jnp.maximum(cand_ins, cand_cross)
     take = seg_best > rec.best_score
     best_moves = jnp.where(
-        take, jnp.where(use_in, bm_in, moves1[best_i]), rec.best_moves
+        take, jnp.where(use_in, bm_in, bm_cross), rec.best_moves
     )
     best_spawns = jnp.where(
-        take, jnp.where(use_in, bs_in, spawns1[best_i]), rec.best_spawns
+        take, jnp.where(use_in, bs_in, bs_cross), rec.best_spawns
     )
     best_start = jnp.where(
         take, jnp.where(use_in, start_in, starts0[best_i]),
         rec.best_start,
     )
     best_len = jnp.where(
-        take,
-        jnp.where(use_in, len_in, jnp.minimum(len_fd[best_i], s_max)),
-        rec.best_len,
+        take, jnp.where(use_in, len_in, l_cr), rec.best_len
     )
     best_score = jnp.where(take, seg_best, rec.best_score)
-
-    # phase 2: the episodes running at segment end (indices unique —
-    # one episode's columns strictly increase with the scan step)
-    col2 = jnp.where(kk >= ldone_eff[None, :], wslot, s_max)
-    moves_f = moves1.at[ar_b, col2].set(mv, mode="drop")
-    spawns_f = spawns1.at[ar_b, col2].set(sp, mode="drop")
     return rec._replace(
         moves=moves_f,
         spawns=spawns_f,
