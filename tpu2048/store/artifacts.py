@@ -76,7 +76,16 @@ def _encode(key: str, data: Any) -> bytes:
         return str(data).encode()
     if ext == "npz":
         buf = io.BytesIO()
-        np.savez_compressed(buf, **data)
+        total = sum(
+            np.asarray(v).nbytes for v in data.values()
+        )
+        if total > 64 * 1024 * 1024:
+            # big weight tables (the n=6 flagship checkpoint is
+            # 1.15 GB): single-thread zlib costs ~a minute per save
+            # at the per-1000-episode cadence — store raw instead
+            np.savez(buf, **data)
+        else:
+            np.savez_compressed(buf, **data)
         return buf.getvalue()
     raise ValueError(f"unknown artifact extension: {key}")
 
