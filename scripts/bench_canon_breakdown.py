@@ -159,11 +159,35 @@ def main():
               f"{timeit(jax.jit(sparse_tc), weights, z, z, alpha, cidx, dw, valid)*1e3:8.2f} ms",
               flush=True)
 
-    # (e3) round-4 sorted-dedup chain with the stacked (w,e,a) scatter
+    # (e3) sorted-dedup chain with a stacked unique-index (w,e,a)
+    # scatter — round 4 tried this as the hot-path update and it
+    # measured 2x SLOWER in-scan than the colliding chain above (the
+    # sort + prefix machinery costs more than serialized scatters at
+    # these lane counts); kept here as the measurement that decided it
+    def _entry_reduce(keys, vals, drop_key):
+        m = keys.shape[0]
+        ks, vs = jax.lax.sort([keys, vals], num_keys=1)
+        ar = jnp.arange(m, dtype=jnp.int32)
+        neq = ks[1:] != ks[:-1]
+        is_first = jnp.concatenate([jnp.ones((1,), bool), neq])
+        is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+        first_pos = jax.lax.cummax(jnp.where(is_first, ar, -1))
+        last_pos = jnp.flip(
+            jax.lax.cummin(jnp.flip(jnp.where(is_last, ar, m)))
+        )
+        cs = jnp.cumsum(vs)
+        ca = jnp.cumsum(jnp.abs(vs))
+        prev = jnp.where(first_pos > 0, first_pos - 1, 0)
+        seg_sum = cs[last_pos] - jnp.where(first_pos > 0, cs[prev], 0.0)
+        seg_abs = ca[last_pos] - jnp.where(first_pos > 0, ca[prev], 0.0)
+        count = (last_pos - first_pos + 1).astype(jnp.float32)
+        tgt = jnp.where(is_first & (ks < drop_key), ks, drop_key)
+        return tgt, seg_sum, seg_abs, count, ks
+
     def dedup_tc(w, e, a, alpha, ci, d, v):
         per = jnp.broadcast_to(d[:, None], ci.shape)
         keys = jnp.where(v[:, None], ci, ts.total).reshape(-1)
-        tgt, seg_sum, seg_abs, cnt, ks = td._entry_reduce(
+        tgt, seg_sum, seg_abs, cnt, ks = _entry_reduce(
             keys, per.reshape(-1), ts.total
         )
         add = seg_sum / cnt

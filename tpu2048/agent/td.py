@@ -134,44 +134,6 @@ def _round4(x: jax.Array) -> jax.Array:
     return jnp.round(x * 10000.0) / 10000.0
 
 
-def _entry_reduce(keys: jax.Array, vals: jax.Array, drop_key: int):
-    """Per-entry (sum, abs-sum, count) of a sparse update batch by
-    sort + prefix sums — no colliding scatter, no dense table pass.
-
-    ``keys`` (M,) int32 table indices (lanes to ignore must carry
-    ``drop_key``); ``vals`` (M,) f32.  Returns
-    ``(tgt, seg_sum, seg_abs, count, ks)`` all (M,): ``tgt`` is the
-    entry index at each segment's FIRST sorted lane and ``drop_key``
-    everywhere else, so ``table.at[tgt].add(f(seg_sum, ...),
-    mode="drop", unique_indices=True)`` applies one combined update per
-    entry with a UNIQUE-index scatter — XLA serializes colliding
-    scatters, which round-3 profiling showed dominating the canonical
-    train step; the sort is vectorized and the unique scatter is not
-    serialized.  ``ks`` is the sorted key vector (for pre-update
-    per-entry gathers, e.g. the TC learning rate).
-    """
-    m = keys.shape[0]
-    ks, vs = jax.lax.sort([keys, vals], num_keys=1)
-    ar = jnp.arange(m, dtype=jnp.int32)
-    neq = ks[1:] != ks[:-1]
-    is_first = jnp.concatenate([jnp.ones((1,), bool), neq])
-    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
-    first_pos = jax.lax.cummax(jnp.where(is_first, ar, -1))
-    last_pos = jnp.flip(
-        jax.lax.cummin(jnp.flip(jnp.where(is_last, ar, m)))
-    )
-    cs = jnp.cumsum(vs)
-    ca = jnp.cumsum(jnp.abs(vs))
-    prev = jnp.where(first_pos > 0, first_pos - 1, 0)
-    base_s = jnp.where(first_pos > 0, cs[prev], 0.0)
-    base_a = jnp.where(first_pos > 0, ca[prev], 0.0)
-    seg_sum = cs[last_pos] - base_s
-    seg_abs = ca[last_pos] - base_a
-    count = (last_pos - first_pos + 1).astype(jnp.float32)
-    tgt = jnp.where(is_first & (ks < drop_key), ks, drop_key)
-    return tgt, seg_sum, seg_abs, count, ks
-
-
 def evaluate_boards(
     ts: ntuple.TupleSet, weights: jax.Array, boards: jax.Array
 ) -> jax.Array:
@@ -478,70 +440,64 @@ def make_train_step(
                     weights = jax.lax.dynamic_update_slice(
                         weights, w_blk + upd, (c.start,)
                     )
-            # big gather classes: per-entry reduction of the canonical
-            # orbit updates by sort + prefix sums, then ONE unique-index
-            # scatter per table.  "sum" adds mult*delta (the exact
-            # 8-image totals, orbit-stabilizer); "mean" divides each
-            # entry's summed update by its valid-hit count this step —
-            # canonicalization makes collisions COMMON, not rare
-            # (near-empty boards share orbits: a board's own 4 crosses
-            # often canonicalize to one entry), so per-entry
-            # normalization must be exact to match the validated
-            # fold/index collision-mean numerics.  The sort replaces
-            # the round-3 colliding scatters (+ a dense hit-count
-            # table pass in "mean"), which XLA serializes per lane.
+            # big gather classes: ONE sparse op set at the canonical
+            # orbit indices.  "sum" scatters mult*delta (the exact
+            # 8-image totals, orbit-stabilizer).  "mean" divides each
+            # hit by the entry's total hit count this step, computed
+            # with one dense counting scatter — canonicalization makes
+            # collisions COMMON, not rare (near-empty boards share
+            # orbits: a board's own 4 crosses often canonicalize to one
+            # entry), so per-entry normalization must be exact to match
+            # the validated fold/index collision-mean numerics.
+            # (A sort+prefix-sum dedup with unique-index scatters was
+            # tried in round 4 and measured 2x SLOWER in-scan than
+            # these colliding scatters — 4.78 vs 2.35 ms at the n=5
+            # defaults' lane count; see scripts/bench_canon_breakdown
+            # — so the colliding form stays.)
             if state.prev_cidx.shape[1]:
                 cidx = state.prev_cidx
                 per = jnp.broadcast_to(delta[:, None], cidx.shape)
                 if acfg.update_mode == "sum":
                     per = per * state.prev_cmult.astype(jnp.float32)
-                keys = jnp.where(
-                    state.prev_valid[:, None], cidx, ts.total
-                ).reshape(-1)
-                tgt, seg_sum, seg_abs, cnt, ks = _entry_reduce(
-                    keys, per.reshape(-1), ts.total
-                )
+                per = jnp.where(state.prev_valid[:, None], per, 0.0)
                 if acfg.update_mode == "mean":
-                    add = seg_sum / cnt
-                    add_abs = seg_abs / cnt
-                else:
-                    add, add_abs = seg_sum, seg_abs
+                    contrib = jnp.broadcast_to(
+                        state.prev_valid[:, None], cidx.shape
+                    ).astype(jnp.float32)
+                    hits_g = jnp.zeros(
+                        (ts.total,), jnp.float32
+                    ).at[cidx].add(contrib, mode="drop")
+                    per = per / jnp.maximum(hits_g[cidx], 1.0)
                 if tc_mode:
-                    e_g = opt_e[ks]
-                    a_g = opt_a[ks]
+                    e_g = opt_e[cidx]
+                    a_g = opt_a[cidx]
                     lr_g = jnp.where(
                         a_g > 0.0,
                         jnp.abs(e_g) / jnp.maximum(a_g, 1e-30),
                         1.0,
                     )
-                    w_add = state.alpha * lr_g * add
                     if ts.total <= 32_000_000:
-                        # one M-lane scatter updating all three tables
-                        # (scatter cost scales with LANES, not bytes):
-                        # stack traffic ~6 table copies is far cheaper
-                        # than two extra serial scatter passes at n<=5
-                        # table sizes; at n=6 (95.7M entries) the copies
-                        # would cost more than the scatters they save.
+                        # one stacked scatter updates all three tables
+                        # (scatter cost scales with lane count, not
+                        # bytes); at n=6 sizes the (3, total) stack
+                        # copies would outweigh the saved passes
                         wea = jnp.stack([weights, opt_e, opt_a])
-                        upd = jnp.stack([w_add, add, add_abs])
-                        wea = wea.at[:, tgt].add(
-                            upd, mode="drop", unique_indices=True
+                        upd = jnp.stack(
+                            [state.alpha * lr_g * per, per,
+                             jnp.abs(per)]
                         )
+                        wea = wea.at[:, cidx].add(upd, mode="drop")
                         weights, opt_e, opt_a = wea[0], wea[1], wea[2]
                     else:
-                        weights = weights.at[tgt].add(
-                            w_add, mode="drop", unique_indices=True
+                        weights = weights.at[cidx].add(
+                            state.alpha * lr_g * per, mode="drop"
                         )
-                        opt_e = opt_e.at[tgt].add(
-                            add, mode="drop", unique_indices=True
-                        )
-                        opt_a = opt_a.at[tgt].add(
-                            add_abs, mode="drop", unique_indices=True
+                        opt_e = opt_e.at[cidx].add(per, mode="drop")
+                        opt_a = opt_a.at[cidx].add(
+                            jnp.abs(per), mode="drop"
                         )
                 else:
-                    weights = weights.at[tgt].add(
-                        add, mode="drop", unique_indices=True
-                    )
+                    weights = weights.at[cidx].add(per, mode="drop")
         elif tc_mode:
             # Temporal coherence (Jaskowski 2016): per-weight rate
             # |E|/A, self-annealing; alpha is a global meta-rate.
