@@ -161,3 +161,37 @@ def test_f6_indices_exact_and_not_bf16_safe(rng):
     # and the bf16-rounded matrix would corrupt at least one index
     corrupt = v @ rounded.T.astype(np.int64) + ts.offsets.astype(np.int64)
     assert (corrupt != want).any()
+
+
+def test_n7_base16_geometry_and_closure():
+    """n=7 — the beyond-reference geometry: the n=6 block layout packed
+    base 16, UNCLIPPED (the packed engine caps exponents at 15, so
+    every digit is valid).  Pins sizes, exact packing incl. exponents
+    14/15 that base-14 would have clipped, and D4 closure of the
+    canonical orbit indices."""
+    import jax.numpy as jnp
+
+    from tpu2048.features import canonical as canon
+    from tpu2048.features.ntuple import _cell_tuples
+
+    ts = ntuple.get_tuple_set(7)
+    assert ts.num_feat == 33
+    assert ts.total == 5_308_416 + 12 * 16 ** 6
+    rng = np.random.default_rng(3)
+    b = rng.integers(0, 16, size=(32, 16)).astype(np.int8)  # incl 14/15
+    idx = np.asarray(ntuple.feature_indices(ts, jnp.asarray(b)))
+    for f, (cells, base) in enumerate(_cell_tuples(7)):
+        k = len(cells)
+        assert base == 16
+        for i in range(8):
+            v = 0
+            for j, (r, c) in enumerate(cells):
+                v += int(b[i, r * 4 + c]) * base ** (k - 1 - j)
+            assert idx[i, f] == ts.offsets[f] + v
+    ci, mu = canon.canonical_gather_indices(ts, jnp.asarray(b))
+    assert ci.shape == (32, 16)
+    assert set(np.unique(np.asarray(mu))).issubset({1, 2, 4, 8})
+    perm = ts.sym_perms[5]
+    ci2, _ = canon.canonical_gather_indices(ts, jnp.asarray(b[:, perm]))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(ci), 1), np.sort(np.asarray(ci2), 1))

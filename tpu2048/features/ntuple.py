@@ -80,7 +80,7 @@ def _cell_tuples(n: int) -> List[Tuple[List[Cell], int]]:
         for i in range(3):
             for j in range(3):
                 t.append(([(i, j), (i + 1, j), (i, j + 1)], 16))
-    elif n in (4, 5, 6):
+    elif n in (4, 5, 6, 7):
         for j in range(4):  # columns
             t.append(([(0, j), (1, j), (2, j), (3, j)], 16))
         for i in range(4):  # rows
@@ -106,8 +106,18 @@ def _cell_tuples(n: int) -> List[Tuple[List[Cell], int]]:
                             16,
                         )
                     )
-        if n == 6:
-            # 3x2 vertical blocks (base 14, exponents clipped at 13)
+        if n >= 6:
+            # Six-cell blocks.  n=6: base 14 with exponents clipped at
+            # 13, the reference's packing (r_learning.py:58-69) — its
+            # own documented representational ceiling past the 8192
+            # tile.  n=7 (beyond the reference): the SAME 12 block
+            # geometries packed base 16, unclipped — the packed-code
+            # engine caps exponents at 15 (4-bit nibbles), so every
+            # digit is valid and tiles up to 32768 stay distinguishable
+            # at the cost of a 16.8M-entry table per block (12x16^6 +
+            # the n=5 set = 206.7M weights).
+            base6 = 14 if n == 6 else 16
+            # 3x2 vertical blocks
             for a in range(2):
                 for b in range(3):
                     t.append(
@@ -120,7 +130,7 @@ def _cell_tuples(n: int) -> List[Tuple[List[Cell], int]]:
                                 (a + 1, b + 1),
                                 (a + 2, b + 1),
                             ],
-                            14,
+                            base6,
                         )
                     )
             # 2x3 horizontal blocks
@@ -136,7 +146,7 @@ def _cell_tuples(n: int) -> List[Tuple[List[Cell], int]]:
                                 (a + 1, b + 1),
                                 (a + 1, b + 2),
                             ],
-                            14,
+                            base6,
                         )
                     )
     else:

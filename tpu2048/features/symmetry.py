@@ -68,7 +68,8 @@ def _table_geometry(ts: TupleSet):
     offsets = [int(o) for o in ts.offsets]
     sizes = [int(z) for z in ts.sizes]
     bases = [
-        16 if z in (16**2, 16**3, 16**4, 16**5) else 14 for z in sizes
+        16 if z in (16**2, 16**3, 16**4, 16**5, 16**6) else 14
+        for z in sizes
     ]
     ks = []
     for z, b in zip(sizes, bases):
