@@ -58,7 +58,10 @@ MODES = [
 # only apply there.
 PARAMS_SPEC = [
     {"name": "name", "type": "text", "default": "test_agent"},
-    {"name": "n", "type": "select", "default": 5, "options": [2, 3, 4, 5, 6]},
+    # n=7 extends the reference's form range (dash_utils.py:31): the
+    # six-tuple blocks packed base 16 unclipped (features/ntuple.py)
+    {"name": "n", "type": "select", "default": 5,
+     "options": [2, 3, 4, 5, 6, 7]},
     {"name": "optimizer", "type": "select", "default": "tc",
      "options": ["tc", "sgd"]},
     {"name": "alpha", "type": "number", "default": 1.0, "step": 0.0001},
