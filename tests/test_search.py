@@ -343,7 +343,7 @@ def test_trial_search_table_ops_promotion_matches_gather():
     common = dict(num=6, seed=9, step_cap=512, steps_per_call=32,
                   search=SearchConfig(depth=2, width=3, since_empty=6))
     res_auto = trial(ts, w, **common)  # promoted path
-    res_gather = trial(ts, w, **common)  # same estimator resolution
+    res_gather = trial(ts, w, table_ops="gather", **common)  # pinned gather
     np.testing.assert_array_equal(res_auto.scores, res_gather.scores)
     np.testing.assert_array_equal(res_auto.odometers, res_gather.odometers)
     assert res_auto.scores.shape == (6,)

@@ -769,19 +769,26 @@ def _merge_staged_recorder(
     ldone = jnp.where(done_k, kk, -1).max(axis=0)  # last completion
     ldone_eff = jnp.where(ldone >= 0, ldone, K)
 
-    # ONE combined scatter per log buffer: steps belonging to the
-    # episode running at segment START (kk < fdone) and to the episode
-    # running at segment END (kk >= ldone_eff) — disjoint slot ranges,
-    # so ordering between them does not matter.  (Round 3 used two
-    # phases so the snapshot could read the start-episode's completed
-    # row between them; the snapshot below reconstructs that row
-    # directly from the stacked records instead, halving the merge's
-    # scatter lanes — the dominant merge cost.)
-    col = jnp.where(
-        (kk < fdone[None, :]) | (kk >= ldone_eff[None, :]), wslot, s_max
-    )
-    moves_f = rec.moves.at[ar_b, col].set(mv, mode="drop")
-    spawns_f = rec.spawns.at[ar_b, col].set(sp, mode="drop")
+    # TWO sequential scatters per log buffer: steps belonging to the
+    # episode running at segment START (kk < fdone) land first, steps
+    # of the episode running at segment END (kk >= ldone_eff) land
+    # second.  Their slot ranges CAN overlap — the end episode writes
+    # slots [0, K-1-ldone) while the start episode writes
+    # [odo0, odo0+fdone), and odo0 may be small when the segment began
+    # right after a reset — and XLA leaves duplicate-index ``set``
+    # order unspecified, so a single combined scatter could let the
+    # finished episode's stale rows clobber the running episode's log.
+    # Sequencing the scatters makes the running episode's writes win
+    # deterministically (its row is the one a later segment keeps
+    # extending); the start episode's completed row is never read from
+    # the buffer — the best-game snapshot below reconstructs it
+    # directly from the stacked records.
+    col_start = jnp.where(kk < fdone[None, :], wslot, s_max)
+    col_end = jnp.where(kk >= ldone_eff[None, :], wslot, s_max)
+    moves_f = rec.moves.at[ar_b, col_start].set(mv, mode="drop")
+    moves_f = moves_f.at[ar_b, col_end].set(mv, mode="drop")
+    spawns_f = rec.spawns.at[ar_b, col_start].set(sp, mode="drop")
+    spawns_f = spawns_f.at[ar_b, col_end].set(sp, mode="drop")
 
     # best finished game among this segment's first completions: its
     # log = old buffer row (slots [0, L-f)) + this segment's staged

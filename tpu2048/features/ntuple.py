@@ -181,6 +181,15 @@ def get_tuple_set(n: int) -> TupleSet:
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
     total = int(sizes.sum())
     assert total < 2**31, "flat table must be int32-indexable"
+    # the f32 index matmuls (feature_indices, canonical._orbit_pack)
+    # are exact only while every PER-CLASS packed index stays at or
+    # below the f32 exact-integer boundary 2^24 - 1 (n=7's base-16
+    # six-tuples sit exactly there); a future base/arity bump past it
+    # would silently wrap indices, so fail loudly here instead
+    assert int(sizes.max()) - 1 <= 2**24 - 1, (
+        f"per-class packed index max {int(sizes.max()) - 1} exceeds the "
+        "f32 exact-integer range; the index matmul would corrupt indices"
+    )
     return TupleSet(
         n=n,
         num_feat=num_feat,

@@ -177,6 +177,7 @@ def trial(
     progress_cb=None,
     stop_cb=None,
     policy: str = "value",
+    table_ops: str = "auto",
 ) -> TrialResult:
     """Play ``num`` games to completion; aggregate statistics.
 
@@ -213,7 +214,7 @@ def trial(
     seg = jax.jit(
         _make_eval_segment(
             ts, scfg, num, step_cap, steps_per_call, limit_tile,
-            policy=policy,
+            table_ops=table_ops, policy=policy,
         ),
         donate_argnums=0,
     )
