@@ -8,10 +8,28 @@ from tpu2048.store import checkpoint as ckpt
 from tpu2048.store.artifacts import LocalStore, MemoryStore, open_store
 
 
-@pytest.fixture(params=["local", "memory"])
-def store(request, tmp_path):
+def _fresh_s3_store(monkeypatch):
+    """An ``S3Store`` wired to the in-process boto3 fake
+    (tests/_fake_boto3.py) with a fresh empty bucket — the real
+    adapter code runs end to end; only the wire is faked."""
+    import sys
+
+    from tests import _fake_boto3
+
+    monkeypatch.setitem(sys.modules, "boto3", _fake_boto3)
+    _fake_boto3.BUCKETS.clear()
+    _fake_boto3.FAIL_NEXT_GET.clear()
+    from tpu2048.store.artifacts import S3Store
+
+    return S3Store("test-bucket")
+
+
+@pytest.fixture(params=["local", "memory", "s3"])
+def store(request, tmp_path, monkeypatch):
     if request.param == "local":
         return LocalStore(str(tmp_path / "store"))
+    if request.param == "s3":
+        return _fresh_s3_store(monkeypatch)
     return MemoryStore()
 
 
@@ -85,6 +103,54 @@ def test_game_record_roundtrip(store):
     assert out["odometer"] == 3
     assert np.array_equal(out["moves"], rec["moves"])
     assert np.array_equal(out["tiles"], rec["tiles"])
+
+
+def test_s3_read_errors_surface(monkeypatch, caplog):
+    """Non-NoSuchKey read failures must raise (and log), never read as
+    'no such artifact' — a silent None could e.g. make resume start
+    from scratch over a transient outage (artifacts.py load_bytes)."""
+    import logging
+
+    from tests import _fake_boto3
+
+    s = _fresh_s3_store(monkeypatch)
+    s.save("a/x.json", {"v": 1})
+    _fake_boto3.FAIL_NEXT_GET.append(ConnectionError("transient outage"))
+    with caplog.at_level(logging.ERROR, logger="tpu2048.store"):
+        with pytest.raises(ConnectionError):
+            s.load("a/x.json")
+    assert any("S3 read" in r.message for r in caplog.records)
+    # the artifact is still there once the outage clears
+    assert s.load("a/x.json") == {"v": 1}
+
+
+def test_s3_missing_key_is_none(monkeypatch):
+    s = _fresh_s3_store(monkeypatch)
+    assert s.load("a/ghost.json") is None
+    s.delete("a/ghost.json")  # idempotent, like real S3
+
+
+def test_s3_without_boto3_raises(monkeypatch):
+    """boto3 is genuinely absent in this image: the constructor must
+    fail with a clear message, not an ImportError at first use."""
+    import sys
+
+    monkeypatch.delitem(sys.modules, "boto3", raising=False)
+    from tpu2048.store.artifacts import S3Store
+
+    with pytest.raises(RuntimeError, match="boto3"):
+        S3Store("b")
+
+
+def test_open_store_s3(monkeypatch):
+    import sys
+
+    from tests import _fake_boto3
+
+    monkeypatch.setitem(sys.modules, "boto3", _fake_boto3)
+    from tpu2048.store.artifacts import S3Store
+
+    assert isinstance(open_store("s3", bucket="b"), S3Store)
 
 
 def test_open_store(tmp_path):

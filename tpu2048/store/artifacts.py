@@ -12,8 +12,9 @@ typed prefixes —
 
 plus top-level docs (job registry, memory telemetry).  Backends:
 local filesystem (default), in-memory (tests), and S3 (gated on boto3
-availability; this container has no egress, so it stays a thin
-adapter with the same interface).
+availability; this container has no egress, so tests execute the
+adapter against the in-process boto3 fake in tests/_fake_boto3.py —
+the adapter code itself runs end to end, only the wire is faked).
 
 Design deltas from the reference (deliberate): no pickled class
 instances (version-safe JSON + npz instead), atomic writes
@@ -212,7 +213,7 @@ class S3Store(_SerializingStore):
     def __init__(self, bucket: str, region: Optional[str] = None):
         try:
             import boto3  # noqa: PLC0415
-        except ImportError as e:  # pragma: no cover
+        except ImportError as e:
             raise RuntimeError(
                 "S3Store requires boto3, which is not installed; "
                 "use LocalStore or MemoryStore"
@@ -222,10 +223,10 @@ class S3Store(_SerializingStore):
         self._bucket = self._s3.Bucket(bucket)
         self._name = bucket
 
-    def save_bytes(self, key: str, data: bytes) -> None:  # pragma: no cover
+    def save_bytes(self, key: str, data: bytes) -> None:
         self._bucket.put_object(Key=key, Body=data)
 
-    def load_bytes(self, key: str):  # pragma: no cover
+    def load_bytes(self, key: str):
         try:
             return self._bucket.Object(key).get()["Body"].read()
         except self._s3.meta.client.exceptions.NoSuchKey:
@@ -241,14 +242,14 @@ class S3Store(_SerializingStore):
             )
             raise
 
-    def append_text(self, key: str, text: str) -> None:  # pragma: no cover
+    def append_text(self, key: str, text: str) -> None:
         cur = self.load_bytes(key) or b""
         self.save_bytes(key, cur + text.encode())
 
-    def delete(self, key: str) -> None:  # pragma: no cover
+    def delete(self, key: str) -> None:
         self._bucket.Object(key).delete()
 
-    def list_keys(self, prefix: str = "") -> List[str]:  # pragma: no cover
+    def list_keys(self, prefix: str = "") -> List[str]:
         return sorted(
             o.key for o in self._bucket.objects.filter(Prefix=prefix)
         )
