@@ -263,16 +263,48 @@ class RecStep(NamedTuple):
     sb: jax.Array  # (R, 16) i8 completing episode's start board (0 if not done)
 
 
+PACK_LIMIT = 32_000_000  # entries; measured crossover for stacked ops
+
+
+def pack_mode(ts: ntuple.TupleSet, acfg: AgentConfig) -> int:
+    """Scan-carry packing for the canonical+TC optimizer state.
+
+    3: ``weights`` carries the (3, total) [w, E, A] row-stack — one
+       (3,·) gather feeds the TC rate and ONE stacked scatter updates
+       all three tables (measured 1.66 vs 2.98 ms at the n=5 defaults'
+       lane count; stacked ops WIN at tables <= PACK_LIMIT entries).
+    2: ``opt_e`` carries the (2, total) [E, A] stack, weights stay
+       flat.  Measured SLOWER than separate arrays at every size that
+       would use it (n=6: 18.9 vs 16.6 ms — above ~32M entries even
+       2-row stacked gathers/scatters pay more per lane than separate
+       passes, scripts/r5_fold_n6.txt), so ``pack_mode`` never selects
+       it; the path is kept under test as the measured alternative.
+    0: fields as declared (non-canonical / non-TC / direct step use,
+       and all tables past PACK_LIMIT).
+
+    Packing is applied ONLY around the jitted segment scan
+    (``make_train_segment``): the public TDState keeps flat fields, so
+    checkpoints, mesh shardings and tests are layout-agnostic.
+    """
+    if not (_is_canonical(acfg) and acfg.optimizer == "tc"):
+        return 0
+    return 3 if ts.total <= PACK_LIMIT else 0
+
+
 def make_train_step(
     ts: ntuple.TupleSet, acfg: AgentConfig, tcfg: TrainConfig,
-    staged: bool = False,
+    staged: bool = False, packed: int = 0,
 ):
     """Build the single batched TD(0) train step (pure, jit-friendly).
 
     With ``staged=True`` the step does NOT scatter into the big
     recorder log buffers or update the best-game snapshot; it returns
     ``(state, RecStep)`` and the caller (``make_train_segment``) merges
-    the stacked records once per segment."""
+    the stacked records once per segment.
+
+    ``packed`` (see ``pack_mode``) selects the scan-carry layout of
+    the canonical+TC optimizer state; the step then reads and writes
+    the packed arrays directly (no per-step stack/unstack copies)."""
 
     num_feat = ts.num_feat
     ring = tcfg.ring_size
@@ -325,10 +357,19 @@ def make_train_step(
         )
 
     # codes-path evaluator also returns the index tensors so the
-    # chosen afterstate's features are SELECTED, not recomputed
+    # chosen afterstate's features are SELECTED, not recomputed.
+    # actor_precision="bf16": the 4N selection pass runs the matmul
+    # classes single-pass bf16; the chosen afterstate's value is then
+    # re-derived exactly (bf16x2) from its indices at N rows, so the
+    # TD bootstrap stays exact-grade while selection pays half the
+    # MXU cost (the gather classes are exact f32 in either mode).
+    actor_bf16 = acfg.actor_precision == "bf16"
     train_ev = table_dispatch.make_train_evaluator(
-        ts, acfg.table_ops, canonical=canon_step
+        ts, acfg.table_ops, canonical=canon_step,
+        precision="bf16" if actor_bf16 else None, split=True,
     )
+    if actor_bf16:
+        mxu_exact = table_dispatch.make_mxu_eval_idx(ts, acfg.table_ops)
     codes_mode = acfg.engine_mode == "codes"
     if codes_mode:
         from ..engine import fast as engf
@@ -342,6 +383,12 @@ def make_train_step(
         score = state.env.score
         n = score.shape[0]
         ar = jnp.arange(n)
+
+        # packed-layout read views (see pack_mode)
+        if packed == 3:
+            w_read = state.weights[0]  # row 0 of the (3, total) stack
+        else:
+            w_read = state.weights
 
         if codes_mode:
             # packed-codes move resolution: up/down come back in
@@ -357,22 +404,33 @@ def make_train_step(
                 [cells4[0], cells4[1][..., perm],
                  cells4[2], cells4[3][..., perm]]
             )
-            vals, idx4, cidx4, mult4 = train_ev(
-                state.weights, cells4
-            )  # (4, N), (4, N, F), (4, N, K)|None
+            mxu4, gth4, idx4, cidx4, mult4 = train_ev(
+                w_read, cells4
+            )  # (4, N), (4, N), (4, N, F), (4, N, K)|None
+            vals = mxu4 + gth4
             masked = jnp.where(legal, vals, -jnp.inf)
             best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
             best_val = masked[best_dir, ar]
             best_delta = delta4[best_dir, ar]
             done = ~legal.any(axis=0)
             chosen_cells = cells4[best_dir, ar]  # canonical (N, 16)
+            if actor_bf16:
+                # exact TD bootstrap: re-derive the chosen afterstate's
+                # matmul-class value at full precision from its indices
+                # (N rows); the gather part gth4 is exact already.  On
+                # done rows the value is unused (masked by ``done`` in
+                # both td_err and prev_value below).
+                best_val = (
+                    mxu_exact(w_read, idx4[best_dir, ar])
+                    + gth4[best_dir, ar]
+                )
             chosen_codes = engf.canonicalize_chosen(
                 aftc[best_dir, ar], best_dir
             )
         else:
             boards = state.env.boards
             chosen, best_dir, best_val, best_delta, done = select(
-                state.weights, boards
+                w_read, boards
             )
             chosen_cells = chosen.reshape(n, 16)
 
@@ -410,33 +468,68 @@ def make_train_step(
                 dsum_f = pair[0].reshape(c.g * size1)
                 hits_f = pair[1].reshape(c.g * size1)
                 nsz = c.g * size1
-                w_blk = jax.lax.dynamic_slice(weights, (c.start,), (nsz,))
                 if tc_mode:
                     dbar = dsum_f / jnp.maximum(hits_f, 1.0)
-                    e_blk = jax.lax.dynamic_slice(
-                        opt_e, (c.start,), (nsz,)
-                    )
-                    a_blk = jax.lax.dynamic_slice(
-                        opt_a, (c.start,), (nsz,)
-                    )
+                    if packed == 3:
+                        blk = jax.lax.dynamic_slice(
+                            weights, (0, c.start), (3, nsz)
+                        )
+                        w_blk, e_blk, a_blk = blk[0], blk[1], blk[2]
+                    elif packed == 2:
+                        w_blk = jax.lax.dynamic_slice(
+                            weights, (c.start,), (nsz,)
+                        )
+                        blk2 = jax.lax.dynamic_slice(
+                            opt_e, (0, c.start), (2, nsz)
+                        )
+                        e_blk, a_blk = blk2[0], blk2[1]
+                    else:
+                        w_blk = jax.lax.dynamic_slice(
+                            weights, (c.start,), (nsz,)
+                        )
+                        e_blk = jax.lax.dynamic_slice(
+                            opt_e, (c.start,), (nsz,)
+                        )
+                        a_blk = jax.lax.dynamic_slice(
+                            opt_a, (c.start,), (nsz,)
+                        )
                     lr_b = jnp.where(
                         a_blk > 0.0,
                         jnp.abs(e_blk) / jnp.maximum(a_blk, 1e-30),
                         1.0,
                     )
-                    weights = jax.lax.dynamic_update_slice(
-                        weights, w_blk + state.alpha * lr_b * dbar,
-                        (c.start,),
-                    )
-                    opt_e = jax.lax.dynamic_update_slice(
-                        opt_e, e_blk + dbar, (c.start,)
-                    )
-                    opt_a = jax.lax.dynamic_update_slice(
-                        opt_a, a_blk + jnp.abs(dbar), (c.start,)
-                    )
+                    w_new = w_blk + state.alpha * lr_b * dbar
+                    e_new = e_blk + dbar
+                    a_new = a_blk + jnp.abs(dbar)
+                    if packed == 3:
+                        weights = jax.lax.dynamic_update_slice(
+                            weights, jnp.stack([w_new, e_new, a_new]),
+                            (0, c.start),
+                        )
+                    elif packed == 2:
+                        weights = jax.lax.dynamic_update_slice(
+                            weights, w_new, (c.start,)
+                        )
+                        opt_e = jax.lax.dynamic_update_slice(
+                            opt_e, jnp.stack([e_new, a_new]),
+                            (0, c.start),
+                        )
+                    else:
+                        weights = jax.lax.dynamic_update_slice(
+                            weights, w_new, (c.start,)
+                        )
+                        opt_e = jax.lax.dynamic_update_slice(
+                            opt_e, e_new, (c.start,)
+                        )
+                        opt_a = jax.lax.dynamic_update_slice(
+                            opt_a, a_new, (c.start,)
+                        )
                 else:
                     upd = (dsum_f / jnp.maximum(hits_f, 1.0)
                            if acfg.update_mode == "mean" else dsum_f)
+                    w_blk = jax.lax.dynamic_slice(
+                        weights, (c.start,), (nsz,)
+                    )
                     weights = jax.lax.dynamic_update_slice(
                         weights, w_blk + upd, (c.start,)
                     )
@@ -469,33 +562,73 @@ def make_train_step(
                     ).at[cidx].add(contrib, mode="drop")
                     per = per / jnp.maximum(hits_g[cidx], 1.0)
                 if tc_mode:
-                    e_g = opt_e[cidx]
-                    a_g = opt_a[cidx]
-                    lr_g = jnp.where(
-                        a_g > 0.0,
-                        jnp.abs(e_g) / jnp.maximum(a_g, 1e-30),
-                        1.0,
-                    )
-                    if ts.total <= 32_000_000:
-                        # one stacked scatter updates all three tables
-                        # (scatter cost scales with lane count, not
-                        # bytes); at n=6 sizes the (3, total) stack
-                        # copies would outweigh the saved passes
-                        wea = jnp.stack([weights, opt_e, opt_a])
+                    if packed == 3:
+                        # weights IS the (3, total) [w, E, A] stack:
+                        # one (3,·) gather feeds the TC rate, one
+                        # stacked scatter applies all three updates —
+                        # no per-step stack/unstack copies (measured
+                        # 1.66 vs 2.98 ms at the n=5 defaults)
+                        g3 = weights[:, cidx]
+                        e_g, a_g = g3[1], g3[2]
+                        lr_g = jnp.where(
+                            a_g > 0.0,
+                            jnp.abs(e_g) / jnp.maximum(a_g, 1e-30),
+                            1.0,
+                        )
                         upd = jnp.stack(
                             [state.alpha * lr_g * per, per,
                              jnp.abs(per)]
                         )
-                        wea = wea.at[:, cidx].add(upd, mode="drop")
-                        weights, opt_e, opt_a = wea[0], wea[1], wea[2]
-                    else:
+                        weights = weights.at[:, cidx].add(
+                            upd, mode="drop"
+                        )
+                    elif packed == 2:
+                        # big tables: the 3-row stack's strided lanes
+                        # are slower than separate ops, but the (2,·)
+                        # E/A stack still halves those two passes
+                        g2 = opt_e[:, cidx]
+                        e_g, a_g = g2[0], g2[1]
+                        lr_g = jnp.where(
+                            a_g > 0.0,
+                            jnp.abs(e_g) / jnp.maximum(a_g, 1e-30),
+                            1.0,
+                        )
+                        opt_e = opt_e.at[:, cidx].add(
+                            jnp.stack([per, jnp.abs(per)]),
+                            mode="drop",
+                        )
                         weights = weights.at[cidx].add(
                             state.alpha * lr_g * per, mode="drop"
                         )
-                        opt_e = opt_e.at[cidx].add(per, mode="drop")
-                        opt_a = opt_a.at[cidx].add(
-                            jnp.abs(per), mode="drop"
+                    else:
+                        e_g = opt_e[cidx]
+                        a_g = opt_a[cidx]
+                        lr_g = jnp.where(
+                            a_g > 0.0,
+                            jnp.abs(e_g) / jnp.maximum(a_g, 1e-30),
+                            1.0,
                         )
+                        if ts.total <= PACK_LIMIT:
+                            # one stacked scatter updates all three
+                            # tables (the segment path reaches this as
+                            # packed=3 without even the stack copies)
+                            wea = jnp.stack([weights, opt_e, opt_a])
+                            upd = jnp.stack(
+                                [state.alpha * lr_g * per, per,
+                                 jnp.abs(per)]
+                            )
+                            wea = wea.at[:, cidx].add(upd, mode="drop")
+                            weights, opt_e, opt_a = (
+                                wea[0], wea[1], wea[2]
+                            )
+                        else:
+                            weights = weights.at[cidx].add(
+                                state.alpha * lr_g * per, mode="drop"
+                            )
+                            opt_e = opt_e.at[cidx].add(per, mode="drop")
+                            opt_a = opt_a.at[cidx].add(
+                                jnp.abs(per), mode="drop"
+                            )
                 else:
                     weights = weights.at[cidx].add(per, mode="drop")
         elif tc_mode:
@@ -881,12 +1014,31 @@ def make_train_segment(
     (``_merge_staged_recorder``) — ~20x cheaper than per-step scatters
     into the 100+ MB logs when every env is recorded (the true
     best-game-capture default).
+
+    The canonical+TC optimizer state is PACKED around the scan (see
+    ``pack_mode``): stacked once per segment, carried packed through
+    all K steps, unstacked once — the public TDState layout at the
+    jit boundary is unchanged.
     """
-    step = make_train_step(ts, acfg, tcfg, staged=True)
+    packed = pack_mode(ts, acfg)
+    step = make_train_step(ts, acfg, tcfg, staged=True, packed=packed)
+    empty = jnp.zeros((0,), jnp.float32)
 
     def segment(state: TDState) -> TDState:
         w0 = state.weights
         starts0 = state.recorder.starts
+        if packed == 3:
+            state = state._replace(
+                weights=jnp.stack(
+                    [state.weights, state.opt_e, state.opt_a]
+                ),
+                opt_e=empty, opt_a=empty,
+            )
+        elif packed == 2:
+            state = state._replace(
+                opt_e=jnp.stack([state.opt_e, state.opt_a]),
+                opt_a=empty,
+            )
 
         def body(s, _):
             return step(s)
@@ -894,6 +1046,15 @@ def make_train_segment(
         out, recs = jax.lax.scan(
             body, state, None, length=tcfg.steps_per_call
         )
+        if packed == 3:
+            out = out._replace(
+                weights=out.weights[0], opt_e=out.weights[1],
+                opt_a=out.weights[2],
+            )
+        elif packed == 2:
+            out = out._replace(
+                opt_e=out.opt_e[0], opt_a=out.opt_e[1]
+            )
         out = out._replace(
             recorder=_merge_staged_recorder(
                 out.recorder, starts0, recs, tcfg.max_record_steps

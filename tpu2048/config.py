@@ -98,6 +98,21 @@ class AgentConfig:
     #   2016, arXiv:1604.05085).  Self-annealing: use alpha=1.0 and no
     #   decay schedule (the schedule is skipped in this mode).
     optimizer: str = "tc"
+    # Precision of the ACTOR's value pass over the 4 candidate
+    # afterstates (codes-engine train path):
+    # "bf16x2": two-pass split kernel, ~2^-18 relative — numerically
+    #   exact-grade selection AND bootstrap in one pass (the
+    #   conservative mode).
+    # "bf16": single-pass bf16 MXU classes for SELECTION (~2^-8 — the
+    #   greedy argmax only flips on near-ties, where both moves are
+    #   near-equally good), with the TD bootstrap value re-derived at
+    #   full precision for the chosen afterstate from the indices
+    #   already in hand — TD math stays exact while the 4N-row
+    #   selection pass runs at twice the MXU rate.  The default
+    #   (quality A/B'd against "bf16x2" at identical seeds, QUALITY.md
+    #   round 5).  The gather classes are plain f32 gathers (exact) in
+    #   either mode.
+    actor_precision: str = "bf16"
 
 
 @dataclass(frozen=True)

@@ -169,9 +169,13 @@ def afterstates_nc(
     the floor for 4-direction LUT resolution.
 
     Greedy selection never consumes the scores of unchosen moves, so
-    the train/serve hot paths pair this with ``chosen_delta`` (4 more
-    gathers for the one move that is taken) instead of paying the
-    16 score gathers of ``afterstates_codes``.
+    a score-light caller can pair this with ``chosen_delta`` (4 more
+    gathers for the one move taken) instead of the 16 score gathers
+    of ``afterstates_codes``.  The shipped train step instead uses
+    ``afterstates_full`` (fused quad tables: afterstates, legality
+    AND all scores in 8 sliced gathers — cheaper than 16+4), so this
+    pairing survives as the portable non-quad formulation and for
+    callers that want the absolute-minimum gather count per move.
 
     Returns (aft (4, N, 4), legal (4, N), tcodes (N, 4)); directions
     1/3 are in TRANSPOSED orientation, as in ``afterstates_codes``.

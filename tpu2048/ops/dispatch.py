@@ -17,7 +17,7 @@ gather path; "onehot"/"pallas" apply to the 16^2/16^3/16^4 classes.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -239,7 +239,9 @@ def make_delta_accumulator(ts: TupleSet, mode: str) -> Callable:
     raise ValueError(f"unknown table op mode: {mode}")
 
 
-def make_train_evaluator(ts: TupleSet, mode: str, canonical: bool = False):
+def make_train_evaluator(ts: TupleSet, mode: str, canonical: bool = False,
+                         precision: Optional[str] = None,
+                         split: bool = False):
     """Evaluator that also RETURNS the index tensors it computed, so
     the train step can select the chosen afterstate's features instead
     of recomputing them (one index matmul + one canonical orbit
@@ -248,6 +250,17 @@ def make_train_evaluator(ts: TupleSet, mode: str, canonical: bool = False):
     Returns fn(weights, flat_boards (..., 16)) ->
         (values (...,), idx (..., F), cidx (..., K) | None,
          mult (..., K) | None)
+    or with ``split=True``
+        (mxu (...,), gth (...,), idx, cidx, mult)
+    where ``mxu`` is the matmul classes' contribution and ``gth`` the
+    gather classes' (always exact f32 — it is plain gathers).  The
+    split lets a bf16 actor re-derive an EXACT bootstrap value for the
+    chosen afterstate: only the mxu part carries the reduced
+    precision, so exact-V(chosen) = exact-mxu(chosen) + gth[chosen].
+
+    ``precision`` overrides the matmul-class kernel precision
+    ("bf16x2" ~2^-18, the default; "bf16" single-pass ~2^-8 — the
+    selection-grade mode AgentConfig.actor_precision="bf16" uses).
     Matmul classes ride the fused Pallas kernel on TPU and plain
     gathers elsewhere (numerically interchangeable, see module doc).
     """
@@ -257,7 +270,8 @@ def make_train_evaluator(ts: TupleSet, mode: str, canonical: bool = False):
     # "search" = single-pass bf16 matmul classes (~2^-8 relative): the
     # actor's greedy argmax only flips on near-ties, where both moves
     # are near-equally good; opt-in speed mode (table_ops="search")
-    precision = "bf16" if mode == "search" else "bf16x2"
+    if precision is None:
+        precision = "bf16" if mode == "search" else "bf16x2"
     if use_pallas:
         from . import pallas_kernels as pk
     if canonical:
@@ -268,30 +282,67 @@ def make_train_evaluator(ts: TupleSet, mode: str, canonical: bool = False):
         b = int(np.prod(shape)) if shape else 1
         idx = feature_indices(ts, flat_boards)
         idx2 = idx.reshape(b, ts.num_feat)
-        total = jnp.zeros((b,), jnp.float32)
+        mxu = jnp.zeros((b,), jnp.float32)
         if use_pallas:
             tb = _pick_tb(b)
             for c in classes.matmul:
                 tables = oh._class_tables(weights, c)
                 hi, lo = oh._hi_lo(ts, idx2, c)
-                total = total + pk.eval_class(
+                mxu = mxu + pk.eval_class(
                     tables, hi, lo, tb, precision=precision
                 )
         else:
             for c in classes.matmul:
                 cols = idx2[:, c.feat0: c.feat0 + c.g]
-                total = total + weights[cols].sum(axis=-1)
+                mxu = mxu + weights[cols].sum(axis=-1)
         cidx = mult = None
+        gth = jnp.zeros((b,), jnp.float32)
         if len(classes.gather_feats):
             if canonical:
                 cidx, mult = canonical_gather_indices(ts, flat_boards)
-                total = total + weights[
-                    cidx.reshape(b, -1)
-                ].sum(axis=-1)
+                gth = weights[cidx.reshape(b, -1)].sum(axis=-1)
             else:
                 gf = jnp.asarray(classes.gather_feats)
-                total = total + weights[idx2[:, gf]].sum(axis=-1)
-        return total.reshape(shape), idx, cidx, mult
+                gth = weights[idx2[:, gf]].sum(axis=-1)
+        if split:
+            return (mxu.reshape(shape), gth.reshape(shape),
+                    idx, cidx, mult)
+        return (mxu + gth).reshape(shape), idx, cidx, mult
+
+    return ev
+
+
+def make_mxu_eval_idx(ts: TupleSet, mode: str):
+    """Exact-grade (bf16x2 / f32) matmul-class evaluation from
+    PRECOMPUTED feature indices: fn(weights, idx2 (B, F)) -> (B,).
+
+    Companion to ``make_train_evaluator(split=True)`` for the bf16
+    actor: after selection, the chosen afterstate's matmul-class value
+    is re-derived at full precision from the indices already in hand —
+    an N-row kernel pass instead of the 4N selection pass.
+    """
+    mode = resolve_mode(mode)
+    classes = oh.build_table_classes(ts)
+    use_pallas = mode in ("pallas", "search")
+    if use_pallas:
+        from . import pallas_kernels as pk
+
+    def ev(weights, idx2):
+        b = idx2.shape[0]
+        mxu = jnp.zeros((b,), jnp.float32)
+        if use_pallas:
+            tb = _pick_tb(b)
+            for c in classes.matmul:
+                tables = oh._class_tables(weights, c)
+                hi, lo = oh._hi_lo(ts, idx2, c)
+                mxu = mxu + pk.eval_class(
+                    tables, hi, lo, tb, precision="bf16x2"
+                )
+        else:
+            for c in classes.matmul:
+                cols = idx2[:, c.feat0: c.feat0 + c.g]
+                mxu = mxu + weights[cols].sum(axis=-1)
+        return mxu
 
     return ev
 
