@@ -42,6 +42,15 @@ class AgentConfig:
     # (stability fix for mini-batch TD; SURVEY §7 hard part 2).
     # "sum": raw scatter-add, exactly the reference numerics at
     # num_envs=1 (used by the sequential-equivalence tests).
+    # (A row-local "rowmean" variant — normalizing only within-board
+    # collisions to drop the dense hit-count scatter/gather pair —
+    # was measured 16.6 -> 12.0 ms at n=6 / 20.1 -> 15.6 ms at n=7
+    # on the sparse chain (scripts/r5_fold_n{6,7}.txt) and REJECTED:
+    # cross-env collisions are systematic, not rare — every fresh run
+    # starts all envs synchronized, and the all-empty cross/block
+    # pattern is shared by many boards on every step — and without
+    # their normalization the summed updates blow the early-game
+    # entries up by orders of magnitude within a few steps.)
     update_mode: str = "mean"
     # How the D4 symmetry updates are realized:
     # "periodic": scatter identity features only on the hot path and
