@@ -89,10 +89,23 @@ def main():
                           for v in row))
         print(f"score = {scores[i]} moves = {moves[i]} "
               f"reached {1 << int(tiles[i])}\n")
-    print(f"average score of {args.num} runs = "
-          f"{round(float(scores.mean()), 3)}")
-    for e in (14, 13, 12, 11, 10):
-        print(f"{1 << e} reached in {float((tiles >= e).mean() * 100)}%")
+    mean = float(scores.mean())
+    sem = float(scores.std(ddof=1) / np.sqrt(len(scores)))
+    print(f"average score of {args.num} runs = {round(mean, 3)} "
+          f"(95% CI ±{round(1.96 * sem, 1)})")
+    for e in (15, 14, 13, 12, 11, 10):
+        k = int((tiles >= e).sum())
+        p = k / len(tiles)
+        # Wilson 95% interval: honest at the tail rates search rows
+        # live in (a 0/100 result still gets a meaningful upper bound)
+        z = 1.96
+        den = 1 + z * z / len(tiles)
+        ctr = (p + z * z / (2 * len(tiles))) / den
+        hw = (z * np.sqrt(p * (1 - p) / len(tiles)
+                          + z * z / (4 * len(tiles) ** 2)) / den)
+        print(f"{1 << e} reached in {round(p * 100, 2)}% "
+              f"(95% CI {round(max(0.0, (ctr - hw)) * 100, 2)}"
+              f"-{round(min(1.0, ctr + hw) * 100, 2)}%)")
     print(f"total time = {round(elapsed, 2)}s "
           f"({nthreads} threads)")
     print(f"average time per move = "

@@ -191,3 +191,32 @@ def test_search_mode_bf16_move_agreement_and_value_error():
     agree = vals_f.argmax(axis=1) == vals_b.argmax(axis=1)
     assert agree[clear].all(), "bf16 flipped a non-near-tie argmax"
     assert rng is not None
+
+
+def test_split_bf16_survives_compiler_precision_rewrites():
+    """The two-pass kernels depend on _split_bf16 producing a REAL
+    residual.  The arithmetic form ``x - f32(bf16(x))`` was silently
+    simplified to zero by XLA under --xla_allow_excess_precision (set
+    for every TPU compile on this platform), collapsing bf16x2 to
+    single-pass bf16; the bitwise split must keep a nonzero residual
+    for non-bf16-exact inputs UNDER JIT on the active backend, and
+    head + resid must reconstruct x to ~2^-17."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu2048.ops.pallas_kernels import _split_bf16
+
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(0, 1000, 4096).astype(np.float32)
+    )
+    h, r = jax.jit(_split_bf16)(x)
+    h = np.asarray(h.astype(jnp.float32))
+    r = np.asarray(r.astype(jnp.float32))
+    xn = np.asarray(x)
+    exact_frac = (h == xn).mean()
+    assert exact_frac < 0.05, "head should round for ~all random f32"
+    assert (r != 0).mean() > 0.9, (
+        "residuals vanished: the split was compiler-folded again"
+    )
+    rel = np.abs(h + r - xn) / np.maximum(np.abs(xn), 1e-9)
+    assert rel.max() < 2 ** -16

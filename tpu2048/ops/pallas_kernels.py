@@ -42,9 +42,35 @@ DEFAULT_TB = 512
 
 def _split_bf16(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """f32 -> (bf16 head, bf16 residual) with head + residual ≈ x
-    to ~2^-18 relative error."""
-    head = x.astype(jnp.bfloat16)
-    resid = (x - head.astype(jnp.float32)).astype(jnp.bfloat16)
+    to ~2^-17 relative error.
+
+    The split is BITWISE (truncate the low 16 mantissa bits by mask),
+    not arithmetic: the textbook ``resid = x - f32(bf16(x))`` is a
+    convert round-trip that XLA may legally simplify to zero under
+    ``--xla_allow_excess_precision`` (this terminal sets it for every
+    TPU compile), which silently collapsed the two-pass kernels to
+    single-pass bf16 — caught in round 5 when an actor-precision A/B
+    produced bitwise-identical runs.  Bit operations carry no
+    precision semantics, so the masked head (exact truncation, also
+    exactly representable in bf16) and the exact f32 remainder
+    survive every compiler precision rewrite."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    # round-to-nearest-even to bf16 in integer arithmetic (the carry
+    # may propagate into the exponent, which is exactly the correctly
+    # rounded result): identical value to x.astype(bfloat16), without
+    # a float convert the compiler could elide
+    rne = bits + jnp.uint32(0x7FFF) + ((bits >> 16) & jnp.uint32(1))
+    head_f32 = jax.lax.bitcast_convert_type(
+        rne & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    head = jax.lax.bitcast_convert_type(
+        (rne >> 16).astype(jnp.uint16), jnp.bfloat16
+    )
+    # x - head_f32 is exact in f32 (nearest-bf16 is within 2^-9|x|, so
+    # the subtraction cancels exactly); only the final bf16 rounding
+    # of the remainder loses bits: |error| <= 2^-9 * |resid|
+    #                                      <= 2^-18 * |x|
+    resid = (x - head_f32).astype(jnp.bfloat16)
     return head, resid
 
 
