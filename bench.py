@@ -31,7 +31,11 @@ def _sync(x):
     return np.asarray(x).ravel()[:1]
 
 
-def bench_train(n_envs=8192, k=128, reps=4, acfg=None, record_envs=-1):
+def bench_train(n_envs=8192, k=64, reps=8, acfg=None, record_envs=-1):
+    # k matches TrainConfig.steps_per_call (the SHIPPED default): the
+    # headline must measure the defaults as shipped, and k=128 also
+    # measures ~14% slower with the round-5 packed optimizer carry
+    # (808k vs 943k env-steps/s — scripts/round5_session2_log.txt)
     from tpu2048.agent import td
     from tpu2048.config import AgentConfig, TrainConfig
     from tpu2048.features import ntuple
