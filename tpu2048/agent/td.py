@@ -343,9 +343,27 @@ def make_train_step(
         # densely — class-local, a few MB instead of the whole table.
         from ..features.canonical import canonical_gather_indices
         from ..features.symmetry import symmetrize_class_sum
+        from ..ops import fold_kernel as fkn
 
+        # fused fold (TPU): gradient blocks are generated directly in
+        # the fold kernel's repacked digit order, the whole 3-round D4
+        # fold runs in ONE VMEM-resident kernel pass per tuple group
+        # (measured 0.29 vs 1.84 ms in-scan at the n=5 defaults,
+        # scripts/r5s2_probe_n5.txt), and the single repacked->standard
+        # conversion left is a streaming pass over the folded dbar/upd
+        # row.  Bitwise-identical to the streaming fold
+        # (tests/test_fold_kernel.py).
+        fused_fold = {}
+        if table_dispatch.resolve_mode(acfg.table_ops) in (
+            "pallas", "search",
+        ):
+            from ..ops.onehot import build_table_classes
+
+            for c in build_table_classes(ts).matmul:
+                if fkn.supports(ts, c):
+                    fused_fold[c.feat0] = fkn.pack_perm_for(ts, c)
         classes_c, class_grads = table_dispatch.make_class_grads(
-            ts, acfg.table_ops
+            ts, acfg.table_ops, repack=fused_fold or None
         )
     elif tc_mode or fold_step:
         accumulate = table_dispatch.make_delta_accumulator(
@@ -460,16 +478,28 @@ def make_train_step(
             blocks = class_grads(idx_flat, delta, state.prev_valid)
             for c, (dsum_b, hits_b) in zip(classes_c.matmul, blocks):
                 size1 = c.h * c.l
+                fused = c.feat0 in fused_fold
                 pair = jnp.stack(
                     [dsum_b.reshape(c.g, size1),
                      hits_b.reshape(c.g, size1)]
                 )
-                pair = symmetrize_class_sum(ts, c.feat0, c.g, pair)
+                if fused:
+                    # blocks arrived repacked (make_class_grads); the
+                    # fold stays in repacked coords, and only the ONE
+                    # derived row (dbar / upd) converts back below
+                    pair = fkn.fold_class_pair_repacked(ts, c, pair)
+                else:
+                    pair = symmetrize_class_sum(ts, c.feat0, c.g, pair)
                 dsum_f = pair[0].reshape(c.g * size1)
                 hits_f = pair[1].reshape(c.g * size1)
                 nsz = c.g * size1
                 if tc_mode:
                     dbar = dsum_f / jnp.maximum(hits_f, 1.0)
+                    if fused:
+                        dbar = fkn.repack_rows(
+                            ts, c, dbar.reshape(c.g, size1),
+                            inverse=True,
+                        ).reshape(nsz)
                     if packed == 3:
                         blk = jax.lax.dynamic_slice(
                             weights, (0, c.start), (3, nsz)
@@ -527,6 +557,11 @@ def make_train_step(
                 else:
                     upd = (dsum_f / jnp.maximum(hits_f, 1.0)
                            if acfg.update_mode == "mean" else dsum_f)
+                    if fused:
+                        upd = fkn.repack_rows(
+                            ts, c, upd.reshape(c.g, size1),
+                            inverse=True,
+                        ).reshape(nsz)
                     w_blk = jax.lax.dynamic_slice(
                         weights, (c.start,), (nsz,)
                     )
@@ -902,26 +937,29 @@ def _merge_staged_recorder(
     ldone = jnp.where(done_k, kk, -1).max(axis=0)  # last completion
     ldone_eff = jnp.where(ldone >= 0, ldone, K)
 
-    # TWO sequential scatters per log buffer: steps belonging to the
-    # episode running at segment START (kk < fdone) land first, steps
-    # of the episode running at segment END (kk >= ldone_eff) land
-    # second.  Their slot ranges CAN overlap — the end episode writes
-    # slots [0, K-1-ldone) while the start episode writes
-    # [odo0, odo0+fdone), and odo0 may be small when the segment began
-    # right after a reset — and XLA leaves duplicate-index ``set``
-    # order unspecified, so a single combined scatter could let the
-    # finished episode's stale rows clobber the running episode's log.
-    # Sequencing the scatters makes the running episode's writes win
-    # deterministically (its row is the one a later segment keeps
-    # extending); the start episode's completed row is never read from
-    # the buffer — the best-game snapshot below reconstructs it
-    # directly from the stacked records.
-    col_start = jnp.where(kk < fdone[None, :], wslot, s_max)
-    col_end = jnp.where(kk >= ldone_eff[None, :], wslot, s_max)
-    moves_f = rec.moves.at[ar_b, col_start].set(mv, mode="drop")
-    moves_f = moves_f.at[ar_b, col_end].set(mv, mode="drop")
-    spawns_f = rec.spawns.at[ar_b, col_start].set(sp, mode="drop")
-    spawns_f = spawns_f.at[ar_b, col_end].set(sp, mode="drop")
+    # ONE scatter per log buffer, with PROVABLY disjoint slots: steps
+    # of the episode running at segment START (kk < fdone) write
+    # ascending slots [odo0, odo0+fdone); steps of the episode running
+    # at segment END (kk >= ldone_eff) write slots [0, end_cnt).  The
+    # ranges can overlap when the segment began right after a reset,
+    # and XLA leaves duplicate-index ``set`` order unspecified — so
+    # start-episode writes into slots BELOW end_cnt are masked out
+    # instead.  That is lossless: when fdone < K the start episode
+    # COMPLETED this segment, its buffer row is never read again (the
+    # best-game snapshot below composes its log from the old buffer +
+    # the staged records, both pre-merge), while the end episode's row
+    # — the one a later segment keeps extending — always lands intact.
+    # When nothing completed (fdone = K), end_cnt = 0 and every write
+    # lands.  Lane cost: HALF the two-phase form this replaces
+    # (scripts/r5s2_probe_n5.txt).
+    end_cnt = jnp.where(ldone >= 0, K - 1 - ldone, 0)
+    col = jnp.where(
+        kk < fdone[None, :],
+        jnp.where(wslot >= end_cnt[None, :], wslot, s_max),
+        jnp.where(kk >= ldone_eff[None, :], wslot, s_max),
+    )
+    moves_f = rec.moves.at[ar_b, col].set(mv, mode="drop")
+    spawns_f = rec.spawns.at[ar_b, col].set(sp, mode="drop")
 
     # best finished game among this segment's first completions: its
     # log = old buffer row (slots [0, L-f)) + this segment's staged

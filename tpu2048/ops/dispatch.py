@@ -347,7 +347,22 @@ def make_mxu_eval_idx(ts: TupleSet, mode: str):
     return ev
 
 
-def make_class_grads(ts: TupleSet, mode: str):
+def _hi_lo_repacked(ts: TupleSet, idx: jax.Array, c, packs) -> Tuple[jax.Array, jax.Array]:
+    """(hi, lo) levels of a 16^4 class in a per-tuple REPACKED digit
+    order (``ops/fold_kernel.py``): hi = digits (p0, p1) and lo =
+    digits (p2, p3) of the local index.  Pure shift/mask arithmetic —
+    the gradient blocks then come out directly in the fused fold
+    kernel's coordinates, making the repacking free on the hot path."""
+    off = jnp.asarray(ts.offsets[c.feat0 : c.feat0 + c.g])
+    local = idx[..., c.feat0 : c.feat0 + c.g] - off  # (B, g)
+    sh = np.asarray(4 * (3 - packs))  # (g, 4) per-digit shifts
+    d = [
+        (local >> jnp.asarray(sh[:, j])) & 15 for j in range(4)
+    ]
+    return (d[0] << 4) | d[1], (d[2] << 4) | d[3]
+
+
+def make_class_grads(ts: TupleSet, mode: str, repack=None):
     """Per-class (dsum, hits) gradient blocks for the MXU matmul
     classes ONLY — never materializes full-table arrays (the canonical
     -index learner handles the big gather classes sparsely instead).
@@ -357,6 +372,10 @@ def make_class_grads(ts: TupleSet, mode: str):
         [(dsum (g, h, l), hits (g, h, l)), ...]`` aligned with
     ``classes.matmul``.  Pallas on TPU, one-hot einsums elsewhere;
     identical numerics up to the bf16x2 split (~2^-18).
+
+    ``repack`` (pallas mode only): {feat0: (g, 4) digit perms} — emit
+    those classes' blocks in the fused fold kernel's repacked digit
+    order (see ``_hi_lo_repacked``).
     """
     mode = resolve_mode(mode)
     classes = oh.build_table_classes(ts)
@@ -366,12 +385,18 @@ def make_class_grads(ts: TupleSet, mode: str):
         grads = {
             (c.h, c.l): pk.grad_for(c.h, c.l) for c in classes.matmul
         }
+        repack = repack or {}
 
         def fn_pallas(idx, dw, valid):
             tb = _pick_tb(idx.shape[0])
             out = []
             for c in classes.matmul:
-                hi, lo = oh._hi_lo(ts, idx, c)
+                if c.feat0 in repack:
+                    hi, lo = _hi_lo_repacked(
+                        ts, idx, c, repack[c.feat0]
+                    )
+                else:
+                    hi, lo = oh._hi_lo(ts, idx, c)
                 out.append(grads[(c.h, c.l)](hi, lo, dw, valid, tb))
             return out
 
