@@ -428,10 +428,25 @@ def make_train_step(
             vals = mxu4 + gth4
             masked = jnp.where(legal, vals, -jnp.inf)
             best_dir = jnp.argmax(masked, axis=0).astype(jnp.int32)
-            best_val = masked[best_dir, ar]
-            best_delta = delta4[best_dir, ar]
+
+            def _sel(x4):
+                # chosen-direction select as a 4-way masked merge:
+                # TPU lowers x4[best_dir, ar] as a batched gather,
+                # while the unrolled where-chain is a fused VPU sweep
+                # over the same bytes (measured faster in-scan)
+                out = x4[0]
+                for d in (1, 2, 3):
+                    h = best_dir == d
+                    m = h if x4.ndim == 2 else h.reshape(
+                        (-1,) + (1,) * (x4.ndim - 2)
+                    )
+                    out = jnp.where(m, x4[d], out)
+                return out
+
+            best_val = _sel(masked)
+            best_delta = _sel(delta4)
             done = ~legal.any(axis=0)
-            chosen_cells = cells4[best_dir, ar]  # canonical (N, 16)
+            chosen_cells = _sel(cells4)  # canonical (N, 16)
             if actor_bf16:
                 # exact TD bootstrap: re-derive the chosen afterstate's
                 # matmul-class value at full precision from its indices
@@ -439,11 +454,10 @@ def make_train_step(
                 # done rows the value is unused (masked by ``done`` in
                 # both td_err and prev_value below).
                 best_val = (
-                    mxu_exact(w_read, idx4[best_dir, ar])
-                    + gth4[best_dir, ar]
+                    mxu_exact(w_read, _sel(idx4)) + _sel(gth4)
                 )
             chosen_codes = engf.canonicalize_chosen(
-                aftc[best_dir, ar], best_dir
+                _sel(aftc), best_dir
             )
         else:
             boards = state.env.boards
@@ -851,7 +865,7 @@ def make_train_step(
         if num_sym == 8:
             sym_idx = ntuple.all_symmetry_indices(ts, chosen_cells)
         elif codes_mode:
-            sym_idx = idx4[best_dir, ar][:, None, :]  # select, no recompute
+            sym_idx = _sel(idx4)[:, None, :]  # select, no recompute
         else:
             sym_idx = ntuple.feature_indices(ts, chosen_cells)[
                 :, None, :
@@ -861,7 +875,7 @@ def make_train_step(
         prev_valid = ~done
         if canon_step and state.prev_cidx.shape[1]:
             if codes_mode:
-                cidx_n, cmult_n = cidx4[best_dir, ar], mult4[best_dir, ar]
+                cidx_n, cmult_n = _sel(cidx4), _sel(mult4)
             else:
                 cidx_n, cmult_n = canonical_gather_indices(
                     ts, chosen_cells
