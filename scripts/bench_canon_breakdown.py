@@ -260,6 +260,59 @@ def main():
           f"{scanned(body_blocks, (weights, z, z))*1e3:8.2f} ms",
           flush=True)
 
+    # (round-5 session 2) same chain with the fused fold kernel:
+    # repacked grads -> one VMEM fold pass per tuple group -> dbar
+    # converted back in one planned streaming pass
+    from tpu2048.ops import dispatch as dsp_mod
+    from tpu2048.ops import fold_kernel as fkn
+
+    fused_packs = {
+        c.feat0: fkn.pack_perm_for(ts, c)
+        for c in classes.matmul
+        if fkn.supports(ts, c)
+    }
+    if fused_packs:
+        _, grads_rp = dsp_mod.make_class_grads(
+            ts, "pallas", repack=fused_packs
+        )
+
+        def blocks_fused_tc(w, e, a, alpha, i, d, v):
+            for c, (dsum_b, hits_b) in zip(
+                classes.matmul, grads_rp(i, d, v)
+            ):
+                size1 = c.h * c.l
+                pair = jnp.stack([dsum_b.reshape(c.g, size1),
+                                  hits_b.reshape(c.g, size1)])
+                if c.feat0 in fused_packs:
+                    pair = fkn.fold_class_pair_repacked(ts, c, pair)
+                else:
+                    pair = symmetrize_class_sum(ts, c.feat0, c.g, pair)
+                nsz = c.g * size1
+                dbar = pair[0] / jnp.maximum(pair[1], 1.0)
+                if c.feat0 in fused_packs:
+                    dbar = fkn.repack_rows(ts, c, dbar, inverse=True)
+                dbar = dbar.reshape(nsz)
+                w_blk = jax.lax.dynamic_slice(w, (c.start,), (nsz,))
+                e_blk = jax.lax.dynamic_slice(e, (c.start,), (nsz,))
+                a_blk = jax.lax.dynamic_slice(a, (c.start,), (nsz,))
+                lr = jnp.where(a_blk > 0, jnp.abs(e_blk) /
+                               jnp.maximum(a_blk, 1e-30), 1.0)
+                w = jax.lax.dynamic_update_slice(
+                    w, w_blk + alpha * lr * dbar, (c.start,))
+                e = jax.lax.dynamic_update_slice(
+                    e, e_blk + dbar, (c.start,))
+                a = jax.lax.dynamic_update_slice(
+                    a, a_blk + jnp.abs(dbar), (c.start,))
+            return w, e, a
+
+        def body_blocks_fused(c):
+            w, e, a = c
+            return blocks_fused_tc(w, e, a, alpha, idx, dw, valid)
+
+        print(f"scan: class chain FUSED fold: "
+              f"{scanned(body_blocks_fused, (weights, z, z))*1e3:6.2f} ms",
+              flush=True)
+
     if cidx.shape[1]:
         def body_sparse(c):
             w, e, a = c

@@ -928,11 +928,13 @@ def _merge_staged_recorder(
 ) -> Recorder:
     """Fold a segment's stacked ``RecStep`` records into the recorder.
 
-    Two-phase merge around the best-game snapshot: writes belonging to
-    each env's episode running at segment start (scan steps before its
-    FIRST completion) land first, so that episode's log is complete
-    when the snapshot reads it; writes from the episode running at
-    segment END (steps at/after the LAST completion) land second.
+    ONE masked scatter per log buffer: writes belonging to each env's
+    episode running at segment start (scan steps before its FIRST
+    completion) and the episode running at segment END (steps at/after
+    the LAST completion) land together, with the start episode's
+    low-slot tail masked out so the two slot ranges are provably
+    disjoint (see the inline comment — the masked writes belong to an
+    episode whose buffer row is never read again).
     Episodes that both start and finish strictly inside one segment
     never materialize in the big buffers, but they are still best-game
     candidates: every completion's score/length/start-board is staged
