@@ -145,14 +145,16 @@ def _make_eval_segment(ts, scfg: SearchConfig, n: int, s_cap: int,
         moved = jnp.where(stepping[:, None], chosen, st.codes)
         spawned, pos, val = engf.spawn_codes(moved, k_spawn)
         codes = jnp.where(stepping[:, None], spawned, st.codes)
-        slot = jnp.minimum(st.odometer, s_cap - 1)
-        mcur = st.moves[ar, slot]
-        scur = st.spawns[ar, slot]
+        # drop-mode writes: non-stepping lanes target slot s_cap (out
+        # of range, silently dropped) — no read-modify-write gathers
         sp = (pos | ((val - 1) << 4)).astype(jnp.int8)
-        moves = st.moves.at[ar, slot].set(
-            jnp.where(stepping, best_dir.astype(jnp.int8), mcur)
+        wslot = jnp.where(
+            stepping, jnp.minimum(st.odometer, s_cap - 1), s_cap
         )
-        spawns = st.spawns.at[ar, slot].set(jnp.where(stepping, sp, scur))
+        moves = st.moves.at[ar, wslot].set(
+            best_dir.astype(jnp.int8), mode="drop"
+        )
+        spawns = st.spawns.at[ar, wslot].set(sp, mode="drop")
         score = jnp.where(stepping, st.score + best_delta, st.score)
         odometer = jnp.where(stepping, st.odometer + 1, st.odometer)
         active = st.active & ~done
